@@ -1,0 +1,246 @@
+"""Weight-only block quantization formats for TPU.
+
+Same numeric *classes* as the reference's GGML formats (q8_0: 32-wide blocks
+with one scale; q4_0: 32-wide 4-bit symmetric; q4_k: 256-wide superblocks
+with 6-bit sub-scales/sub-mins and two fp16 super-scales — reference usage:
+/root/reference/src/loader.h:149-189, README.md:53) but with layouts
+re-designed for TPU/XLA:
+
+* 4-bit values are packed **planar** within a row: packed byte ``j`` holds
+  nibble ``w[j]`` (low) and ``w[j + I/2]`` (high).  Unpacking is then a
+  single concat of two contiguous halves — no lane interleave/relayout on
+  the VPU, unlike the GGML byte-interleaved layout.
+* scales are stored fp16 (storage) and applied in fp32.
+* everything is a flat ``[O, I]``-addressable pytree (`QuantTensor`) so
+  gathers (embedding rows) and shardings (tensor-parallel row splits) work
+  directly on the packed arrays.
+
+Dequantized matmul has two paths: a pure-XLA path (dequant fused into the
+consumer) used for bring-up/CPU, and fused Pallas dequant+matmul kernels
+(moshi_tpu/quant/pallas_matmul.py) for the HBM-bandwidth-bound decode path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QK = 32        # sub-block size (q8_0 / q4_0 scale granularity)
+QK_K = 256     # q4_k superblock size
+
+QUANT_FORMATS = ("q8_0", "q4_0", "q4_k")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantTensor:
+    """A block-quantized 2-D weight [O, I] as a pytree.
+
+    fields (by fmt):
+      q8_0: q int8 [O, I];      d f16 [O, I/32]
+      q4_0: q uint8 [O, I/2];   d f16 [O, I/32]            (planar nibbles)
+      q4_k: q uint8 [O, I/2];   sc,mn uint8 [O, I/256, 8]; d,dmin f16 [O, I/256]
+    """
+
+    fmt: str
+    shape: Tuple[int, int]
+    q: jnp.ndarray
+    d: jnp.ndarray
+    sc: jnp.ndarray | None = None
+    mn: jnp.ndarray | None = None
+    dmin: jnp.ndarray | None = None
+
+    def tree_flatten(self):
+        children = (self.q, self.d, self.sc, self.mn, self.dmin)
+        return children, (self.fmt, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        fmt, shape = aux
+        q, d, sc, mn, dmin = children
+        return cls(fmt=fmt, shape=shape, q=q, d=d, sc=sc, mn=mn, dmin=dmin)
+
+    @property
+    def dtype(self):  # convenience for param-tree introspection
+        return jnp.bfloat16
+
+    @property
+    def nbytes(self) -> int:
+        total = 0
+        for arr in (self.q, self.d, self.sc, self.mn, self.dmin):
+            if arr is not None:
+                total += arr.size * arr.dtype.itemsize
+        return total
+
+
+# ---------------------------------------------------------------------------
+# quantize (host side, numpy — used once at weight-load time)
+# ---------------------------------------------------------------------------
+
+def _quantize_q8_0(w: np.ndarray) -> QuantTensor:
+    o, i = w.shape
+    assert i % QK == 0, f"q8_0 needs I % {QK} == 0, got {i}"
+    blocks = w.reshape(o, i // QK, QK).astype(np.float32)
+    amax = np.max(np.abs(blocks), axis=-1)
+    d = (amax / 127.0).astype(np.float16)
+    ds = d.astype(np.float32)
+    inv = np.where(ds > 0, 1.0 / np.maximum(ds, 1e-30), 0.0)
+    q = np.clip(np.round(blocks * inv[..., None]), -127, 127).astype(np.int8)
+    return QuantTensor("q8_0", (o, i), jnp.asarray(q.reshape(o, i)), jnp.asarray(d))
+
+
+def _quantize_q4_0(w: np.ndarray) -> QuantTensor:
+    o, i = w.shape
+    assert i % QK == 0 and i % 2 == 0
+    blocks = w.reshape(o, i // QK, QK).astype(np.float32)
+    # signed-max trick: scale by the signed extreme / -8 so that the extreme
+    # maps exactly onto an endpoint of [-8, 7]
+    idx = np.argmax(np.abs(blocks), axis=-1)
+    ext = np.take_along_axis(blocks, idx[..., None], axis=-1)[..., 0]
+    d = (ext / -8.0).astype(np.float16)
+    ds = d.astype(np.float32)
+    inv = np.where(np.abs(ds) > 0, 1.0 / np.where(ds == 0, 1.0, ds), 0.0)
+    q = np.clip(np.round(blocks * inv[..., None]) + 8, 0, 15).astype(np.uint8)
+    q = q.reshape(o, i)
+    packed = (q[:, : i // 2] | (q[:, i // 2 :] << 4)).astype(np.uint8)
+    return QuantTensor("q4_0", (o, i), jnp.asarray(packed), jnp.asarray(d))
+
+
+def _fit_asym_subblocks(blocks: np.ndarray):
+    """Per-32-subblock asymmetric fit: w ~= s*q - m with q in [0,15], m >= 0."""
+    wmin = np.minimum(blocks.min(axis=-1), 0.0)   # force m >= 0
+    wmax = np.maximum(blocks.max(axis=-1), 0.0)
+    s = (wmax - wmin) / 15.0
+    m = -wmin
+    return s, m
+
+
+def _quantize_q4_k(w: np.ndarray) -> QuantTensor:
+    o, i = w.shape
+    assert i % QK_K == 0, f"q4_k needs I % {QK_K} == 0, got {i}"
+    nsb = i // QK_K
+    blocks = w.reshape(o, nsb, 8, QK).astype(np.float32)
+    s, m = _fit_asym_subblocks(blocks)                     # [O, nsb, 8]
+    d = (s.max(axis=-1) / 63.0).astype(np.float16)         # [O, nsb]
+    dmin = (m.max(axis=-1) / 63.0).astype(np.float16)
+    ds = d.astype(np.float32)[..., None]
+    dmins = dmin.astype(np.float32)[..., None]
+    sc = np.clip(np.round(np.divide(s, ds, out=np.zeros_like(s), where=ds > 0)),
+                 0, 63).astype(np.uint8)
+    mn = np.clip(np.round(np.divide(m, dmins, out=np.zeros_like(m), where=dmins > 0)),
+                 0, 63).astype(np.uint8)
+    eff_s = ds * sc            # quantized effective scale  [O, nsb, 8]
+    eff_m = dmins * mn
+    inv = np.where(eff_s > 0, 1.0 / np.where(eff_s == 0, 1.0, eff_s), 0.0)
+    q = np.clip(np.round((blocks + eff_m[..., None]) * inv[..., None]),
+                0, 15).astype(np.uint8)
+    q = q.reshape(o, i)
+    packed = (q[:, : i // 2] | (q[:, i // 2 :] << 4)).astype(np.uint8)
+    return QuantTensor("q4_k", (o, i), jnp.asarray(packed), jnp.asarray(d),
+                       sc=jnp.asarray(sc), mn=jnp.asarray(mn), dmin=jnp.asarray(dmin))
+
+
+def quantize(w: np.ndarray, fmt: str) -> QuantTensor:
+    w = np.asarray(w)
+    assert w.ndim == 2, f"only 2-D weights quantize, got {w.shape}"
+    if fmt == "q8_0":
+        return _quantize_q8_0(w)
+    if fmt == "q4_0":
+        return _quantize_q4_0(w)
+    if fmt == "q4_k":
+        return _quantize_q4_k(w)
+    raise ValueError(f"unknown quant format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# dequantize (device side, jnp — fuses into consumers under jit)
+# ---------------------------------------------------------------------------
+
+def _unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
+    lo = packed & jnp.uint8(15)
+    hi = packed >> jnp.uint8(4)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Shape-agnostic: works on the base [O, I] layout and on stacked
+    leaves with extra leading axes (e.g. [L, O, I/2] from lax.scan stacks)."""
+    if qt.fmt == "q8_0":
+        d = jnp.repeat(qt.d.astype(jnp.float32), QK, axis=-1)
+        w = qt.q.astype(jnp.float32) * d
+    elif qt.fmt == "q4_0":
+        q = _unpack_nibbles(qt.q).astype(jnp.float32) - 8.0
+        d = jnp.repeat(qt.d.astype(jnp.float32), QK, axis=-1)
+        w = q * d
+    elif qt.fmt == "q4_k":
+        q = _unpack_nibbles(qt.q).astype(jnp.float32)
+        i = q.shape[-1]
+        lead = q.shape[:-2] + (q.shape[-2],)
+        eff_s = qt.d.astype(jnp.float32)[..., None] * qt.sc.astype(jnp.float32)
+        eff_m = qt.dmin.astype(jnp.float32)[..., None] * qt.mn.astype(jnp.float32)
+        w = q * jnp.repeat(eff_s.reshape(lead + (i // QK,)), QK, axis=-1) \
+            - jnp.repeat(eff_m.reshape(lead + (i // QK,)), QK, axis=-1)
+    else:
+        raise ValueError(qt.fmt)
+    return w.astype(dtype)
+
+
+def dequantize_rows(qt: QuantTensor, rows: jnp.ndarray, dtype=jnp.bfloat16):
+    """Gather + dequantize selected rows (embedding lookup on packed data).
+
+    Mirrors the reference's quantized-embedding get_rows path
+    (/root/reference/src/moshi/models/lm_utils.h:24-33).
+    """
+    flat_rows = rows.reshape(-1)
+    picked = QuantTensor(
+        qt.fmt, (flat_rows.shape[0], qt.shape[1]),
+        jnp.take(qt.q, flat_rows, axis=0),
+        jnp.take(qt.d, flat_rows, axis=0),
+        None if qt.sc is None else jnp.take(qt.sc, flat_rows, axis=0),
+        None if qt.mn is None else jnp.take(qt.mn, flat_rows, axis=0),
+        None if qt.dmin is None else jnp.take(qt.dmin, flat_rows, axis=0),
+    )
+    out = dequantize(picked, dtype)
+    return out.reshape(rows.shape + (qt.shape[1],))
+
+
+# ---------------------------------------------------------------------------
+# matmul entry point
+# ---------------------------------------------------------------------------
+
+_PALLAS_ENABLED = False
+
+
+def enable_pallas(flag: bool = True):
+    """Switch qmatmul to the fused Pallas dequant+matmul kernels."""
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = flag
+
+
+def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
+    """y = x @ w.T for plain arrays or QuantTensors.  x: [..., I] -> [..., O]."""
+    if isinstance(w, QuantTensor):
+        if _PALLAS_ENABLED:
+            from moshi_tpu.quant import pallas_matmul
+            y = pallas_matmul.qmatmul_pallas(x, w)
+        else:
+            wd = dequantize(w, jnp.bfloat16)
+            y = jax.lax.dot_general(
+                x.astype(jnp.bfloat16), wd,
+                (((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        y = jax.lax.dot_general(
+            x.astype(w.dtype) if w.dtype == jnp.bfloat16 else x, w,
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    return y

@@ -1,0 +1,60 @@
+"""Per-tensor quantization policy with shape-based fallback.
+
+Mirrors the reference loader's behavior (/root/reference/src/loader.h:149-225):
+  * only large 2-D matmul/embedding weights are quantized;
+  * q4_k falls back to q4_0 when the inner dim is not a multiple of 256,
+    q4_0 falls back to the source dtype when not a multiple of 32
+    (loader.h:162-172);
+  * norm scales / biases stay fp32, conv weights stay bf16
+    (loader.h:191-225: mul/add/rms_norm -> F32, conv_1d -> F16).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from moshi_tpu.quant.formats import QK, QK_K, QuantTensor, quantize
+
+# parameter-name suffixes that are never quantized (norms, biases, scales)
+_KEEP_F32 = ("alpha", "bias", "scale", "layer_scale")
+# minimum row count before quantization pays off (small projections stay bf16)
+_MIN_ROWS = 256
+_MIN_COLS = 256
+
+
+def choose_format(name: str, shape, fmt: str) -> Optional[str]:
+    """Return the actual quant format for a parameter, or None to keep it
+    unquantized.  `fmt` is the requested format (q8_0/q4_0/q4_k)."""
+    if fmt is None:
+        return None
+    if any(name.endswith(sfx) for sfx in _KEEP_F32):
+        return None
+    if len(shape) != 2:
+        return None  # conv kernels / vectors stay bf16
+    o, i = shape
+    if o < _MIN_ROWS or i < _MIN_COLS:
+        return None
+    if fmt == "q4_k" and i % QK_K != 0:
+        fmt = "q4_0"  # loader.h:162-166
+    if fmt in ("q4_0", "q8_0") and i % QK != 0:
+        return None   # loader.h:168-172
+    return fmt
+
+
+def quantize_tree(params, fmt: str, path: str = ""):
+    """Recursively quantize a nested param dict according to the policy."""
+    if isinstance(params, dict):
+        return {k: quantize_tree(v, fmt, f"{path}.{k}" if path else k)
+                for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(quantize_tree(v, fmt, f"{path}.{i}")
+                            for i, v in enumerate(params))
+    if isinstance(params, QuantTensor):
+        return params
+    arr = np.asarray(params)
+    actual = choose_format(path, arr.shape, fmt)
+    if actual is None:
+        return params
+    return quantize(arr.astype(np.float32), actual)
