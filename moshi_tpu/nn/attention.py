@@ -1,0 +1,181 @@
+"""Streaming multi-head attention with a ring KV cache.
+
+Behavioral parity with /root/reference/src/moshi/modules/transformer.h:
+  * fixed-capacity bf16 KV ring written by position-indexed scatter
+    (the reference's `ggml_set_rows` insert mode, transformer.h:238-249);
+  * windowed causal masking equivalent to the reference's precomputed
+    bias-pattern LUT (torch.h:162-223) — on TPU the mask is a handful of
+    fused iota/compare VPU ops recomputed per step, which XLA folds into
+    the softmax for free, so the LUT's motivation (avoiding per-frame
+    host mask math in GGML) does not apply; the *positions* math is the
+    same arithmetic recovery as transformer.h:251-287;
+  * additive bias with a large negative (not -inf), like torch.h:124-152;
+  * optional cross-attention against precomputed K/V
+    (transformer.h:343-396) — no RoPE, no mask;
+  * RoPE on q/k from `offset + arange(T)` (transformer.h:1198-1209).
+
+All shapes carry an explicit batch axis (the reference is hard-coded B=1,
+transformer.h:326-328); offsets are per-session [B] so batched sessions at
+different stream positions share one jitted program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from moshi_tpu.nn.layers import linear
+from moshi_tpu.nn.rope import apply_rope
+
+NEG_BIAS = -1e9  # applied in f32 pre-softmax (reference uses -1e5 in f16)
+
+
+@dataclass(frozen=True)
+class MHAConfig:
+    dim: int
+    num_heads: int
+    context: int            # attention window
+    capacity: int = 0       # ring size; 0 -> context
+    causal: bool = True
+    rope_max_period: float = 10_000.0  # 0 -> no rope
+    bias_proj: bool = False  # in/out projection biases (torch MHA style)
+    kv_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def cap(self) -> int:
+        return self.capacity or self.context
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+def init_mha_params(key, cfg: MHAConfig, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    scale = cfg.dim ** -0.5
+    p = {
+        "in_proj": {"weight": jax.random.normal(k1, (3 * cfg.dim, cfg.dim), dtype) * scale},
+        "out_proj": {"weight": jax.random.normal(k2, (cfg.dim, cfg.dim), dtype) * scale},
+    }
+    if cfg.bias_proj:
+        p["in_proj"]["bias"] = jnp.zeros((3 * cfg.dim,), dtype)
+        p["out_proj"]["bias"] = jnp.zeros((cfg.dim,), dtype)
+    return p
+
+
+def init_kv_state(cfg: MHAConfig, batch: int):
+    shape = (batch, cfg.cap, cfg.num_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, cfg.kv_dtype), "v": jnp.zeros(shape, cfg.kv_dtype)}
+
+
+def ring_insert(cache: jnp.ndarray, values: jnp.ndarray, positions: jnp.ndarray,
+                cap: int) -> jnp.ndarray:
+    """Scatter values [B, T, ...] into ring cache [B, cap, ...] at
+    positions % cap (per-batch positions [B, T])."""
+    b = cache.shape[0]
+    slots = positions % cap
+    batch_idx = jnp.arange(b, dtype=slots.dtype)[:, None]
+    return cache.at[batch_idx, slots].set(values.astype(cache.dtype))
+
+
+def ring_key_positions(last: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Absolute position held by each ring slot after writing up to `last`
+    (per-batch last [B]): p[j] = last - ((last - j) mod cap).  Slots never
+    written resolve to negative positions.  Same arithmetic recovery as
+    transformer.h:251-287."""
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    lastb = last.astype(jnp.int32)[:, None]
+    return lastb - ((lastb - j) % cap)
+
+
+def streaming_attn_bias(offset: jnp.ndarray, t: int, cap: int, context: int):
+    """Additive bias [B, T, cap] in f32: 0 where the key slot is a valid
+    (causal, in-window, actually-written) position for the query, NEG_BIAS
+    elsewhere.  Pure iota/compare math — XLA fuses it into the softmax."""
+    last = offset + (t - 1)
+    p = ring_key_positions(last, cap)                      # [B, cap]
+    qp = offset.astype(jnp.int32)[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    pk = p[:, None, :]                                     # [B, 1, cap]
+    qpk = qp[:, :, None]                                   # [B, T, 1]
+    valid = (pk >= 0) & (pk <= qpk) & (pk > qpk - context)
+    return jnp.where(valid, 0.0, NEG_BIAS).astype(jnp.float32)
+
+
+def streaming_mha(cfg: MHAConfig, params, state, x, offset):
+    """x: [B, T, D], offset: [B] (position of x[:, 0]).
+    Returns (y [B, T, D], new_state).  Caller advances offset by T."""
+    b, t, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    qkv = linear(params["in_proj"], x)                     # [B, T, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, h, hd)
+    k = k.reshape(b, t, h, hd)
+    v = v.reshape(b, t, h, hd)
+    positions = offset[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    if cfg.rope_max_period:
+        q = apply_rope(q, positions, cfg.rope_max_period)
+        k = apply_rope(k, positions, cfg.rope_max_period)
+    kc = ring_insert(state["k"], k, positions, cfg.cap)
+    vc = ring_insert(state["v"], v, positions, cfg.cap)
+    bias = streaming_attn_bias(offset, t, cfg.cap, cfg.context)  # [B, T, cap]
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.bfloat16),
+                        kc.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    scores = scores * (hd ** -0.5) + bias[:, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(jnp.bfloat16),
+                     vc.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(b, t, d).astype(x.dtype)
+    y = linear(params["out_proj"], out)
+    return y, {"k": kc, "v": vc}
+
+
+# ---------------------------------------------------------------------------
+# cross attention (voice-conditioned TTS models)
+# ---------------------------------------------------------------------------
+
+def cross_attention_kv(cfg: MHAConfig, params, cond):
+    """Precompute per-layer cross K/V from conditioning [B, S, D] — done
+    once per session, like the reference's cache_cross_attention
+    (transformer.h:343-396)."""
+    b, s, d = cond.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    w = params["in_proj"]["weight"]
+    # rows [D:3D] of the fused in_proj are the k and v projections
+    from moshi_tpu.quant.formats import QuantTensor, dequantize
+    if isinstance(w, QuantTensor):
+        w = dequantize(w, jnp.bfloat16)
+    wk = w[d:2 * d]
+    wv = w[2 * d:3 * d]
+    k = jnp.einsum("bsd,ed->bse", cond.astype(wk.dtype), wk)
+    v = jnp.einsum("bsd,ed->bse", cond.astype(wv.dtype), wv)
+    if "bias" in params["in_proj"]:
+        bias = params["in_proj"]["bias"]
+        k = k + bias[d:2 * d].astype(k.dtype)
+        v = v + bias[2 * d:3 * d].astype(v.dtype)
+    return {"k": k.reshape(b, s, h, hd).astype(cfg.kv_dtype),
+            "v": v.reshape(b, s, h, hd).astype(cfg.kv_dtype)}
+
+
+def cross_mha(cfg: MHAConfig, params, x, kv):
+    """Full (unmasked, un-roped) attention of x [B, T, D] against
+    precomputed kv {k,v: [B, S, H, hd]}."""
+    b, t, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    w = params["in_proj"]
+    q = linear({"weight": w["weight"], **({"bias": w["bias"]} if "bias" in w else {})}, x)
+    # only the q rows [0:D] of the fused projection are used for queries
+    q = q[..., :d] if q.shape[-1] == 3 * d else q
+    q = q.reshape(b, t, h, hd)
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.bfloat16),
+                        kv["k"].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(jnp.bfloat16),
+                     kv["v"].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(b, t, d).astype(x.dtype)
+    return linear(params["out_proj"], out)

@@ -1,0 +1,151 @@
+"""Streaming transformer layer & stack.
+
+Behavioral parity with /root/reference/src/moshi/modules/transformer.h
+(layer :910-1039, stack :1139-1215, prebuilt-graph trio :1217-1329):
+pre-norm (rms or layer norm) -> self-attn (+layer_scale) -> optional
+cross-attn -> gating-or-gelu FFN (+layer_scale), with the attention
+bias/rope shared across layers (here: computed once inside the jitted
+stack and fused by XLA).
+
+TPU design: all layers of a stack are homogeneous, so per-layer params and
+KV state carry a leading L axis and the stack body is a single
+`lax.scan` — one compiled layer program regardless of depth, with
+quantized (QuantTensor) leaves scanning natively.  The reference's
+prebuilt-graph + input-slot idiom maps to jitting the caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from moshi_tpu.nn.attention import (MHAConfig, cross_attention_kv, cross_mha,
+                                    init_kv_state, init_mha_params,
+                                    streaming_mha)
+from moshi_tpu.nn.gating import gating_mlp, mlp_gelu
+from moshi_tpu.nn.layers import (apply_norm, init_layer_norm, init_linear,
+                                 init_rms_norm, layer_scale)
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    dim: int
+    num_heads: int
+    num_layers: int
+    hidden_dim: int                    # FFN hidden (gating: per-half)
+    context: int
+    capacity: int = 0                  # 0 -> context
+    causal: bool = True
+    norm: str = "rms_norm_f32"         # or "layer_norm"
+    gating: str = "silu"               # "" -> linear1/linear2 gelu FFN
+    use_layer_scale: bool = False
+    rope_max_period: float = 10_000.0  # 0 -> no positional embedding
+    cross_attention: bool = False
+    bias_proj: bool = False            # attention projection biases
+    bias_ffn: bool = False             # FFN biases (torch Linear default)
+
+    @property
+    def mha(self) -> MHAConfig:
+        return MHAConfig(
+            dim=self.dim, num_heads=self.num_heads, context=self.context,
+            capacity=self.capacity, causal=self.causal,
+            rope_max_period=self.rope_max_period, bias_proj=self.bias_proj)
+
+
+def _init_norm(cfg: TransformerConfig, dtype):
+    if cfg.norm.startswith("rms_norm"):
+        return init_rms_norm(cfg.dim, dtype)
+    return init_layer_norm(cfg.dim, dtype)
+
+
+def init_layer_params(key, cfg: TransformerConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    p = {
+        "norm1": _init_norm(cfg, dtype),
+        "self_attn": init_mha_params(ks[0], cfg.mha, dtype),
+        "norm2": _init_norm(cfg, dtype),
+    }
+    if cfg.gating:
+        from moshi_tpu.nn.gating import init_gating
+        p["gating"] = init_gating(ks[1], cfg.dim, cfg.hidden_dim, dtype)
+    else:
+        p["linear1"] = init_linear(ks[1], cfg.dim, cfg.hidden_dim,
+                                   bias=cfg.bias_ffn, dtype=dtype)
+        p["linear2"] = init_linear(ks[2], cfg.hidden_dim, cfg.dim,
+                                   bias=cfg.bias_ffn, dtype=dtype)
+    if cfg.use_layer_scale:
+        p["layer_scale_1"] = {"scale": jnp.full((cfg.dim,), 0.01, dtype)}
+        p["layer_scale_2"] = {"scale": jnp.full((cfg.dim,), 0.01, dtype)}
+    if cfg.cross_attention:
+        p["norm_cross"] = _init_norm(cfg, dtype)
+        p["cross_attention"] = init_mha_params(ks[3], cfg.mha, dtype)
+    return p
+
+
+def init_transformer_params(key, cfg: TransformerConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_layers)
+    layers = [init_layer_params(k, cfg, dtype) for k in keys]
+    return {"layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)}
+
+
+def init_transformer_state(cfg: TransformerConfig, batch: int):
+    kv = init_kv_state(cfg.mha, batch)
+    return {
+        "k": jnp.stack([kv["k"]] * cfg.num_layers),
+        "v": jnp.stack([kv["v"]] * cfg.num_layers),
+    }
+
+
+def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
+                      cross_kv=None):
+    """One layer: x [B, T, D] -> (y, new_kv_state)."""
+    h = apply_norm(cfg.norm, params["norm1"], x)
+    attn, new_kv = streaming_mha(cfg.mha, params["self_attn"], kv_state, h, offset)
+    if cfg.use_layer_scale:
+        attn = layer_scale(params["layer_scale_1"], attn)
+    x = x + attn
+    if cfg.cross_attention and cross_kv is not None:
+        hc = apply_norm(cfg.norm, params["norm_cross"], x)
+        x = x + cross_mha(cfg.mha, params["cross_attention"], hc, cross_kv)
+    h2 = apply_norm(cfg.norm, params["norm2"], x)
+    if cfg.gating:
+        ffn = gating_mlp(params["gating"], h2, cfg.gating)
+    else:
+        ffn = mlp_gelu(params, h2)
+    if cfg.use_layer_scale:
+        ffn = layer_scale(params["layer_scale_2"], ffn)
+    return x + ffn, new_kv
+
+
+def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
+                        cross_kv=None):
+    """Run the full stack via lax.scan over stacked layer params.
+
+    x: [B, T, D]; offset: [B] (position of x[:, 0] in the stream).
+    cross_kv: optional {k, v: [L, B, S, H, hd]} per-layer cross K/V.
+    Returns (y, new_state)."""
+    layers = params["layers"]
+    kv = {"k": state["k"], "v": state["v"]}
+    if cross_kv is None:
+        def body(h, xs):
+            lp, kv_l = xs
+            return transformer_layer(cfg, lp, kv_l, h, offset, None)
+        y, new_kv = jax.lax.scan(body, x, (layers, kv))
+    else:
+        def body(h, xs):
+            lp, kv_l, ckv = xs
+            return transformer_layer(cfg, lp, kv_l, h, offset, ckv)
+        y, new_kv = jax.lax.scan(body, x, (layers, kv, cross_kv))
+    return y, new_kv
+
+
+def transformer_cross_kv(cfg: TransformerConfig, params, cond):
+    """Precompute per-layer cross-attention K/V for conditioning [B, S, D]
+    (session bring-up; reference transformer.h:343-396 + moshi.cpp:872-886).
+    Returns {k, v: [L, B, S, H, hd]}."""
+    def per_layer(lp):
+        return cross_attention_kv(cfg.mha, lp["cross_attention"], cond)
+    return jax.lax.map(per_layer, params["layers"])
