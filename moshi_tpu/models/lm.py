@@ -1,0 +1,558 @@
+"""Moshi dual-transformer LM: temporal transformer + depth transformer.
+
+Behavioral parity with /root/reference/src/moshi/models/lm.h and
+lm_default.h:6-226:
+
+  * temporal transformer over 12.5 Hz frames: input = text embedding
+    (+ demuxed second text stream) + sum of n_q audio embeddings
+    (+ condition_sum), rms-norm / rope / silu-gating stack, out_norm,
+    text_linear logits (lm.h:555-700);
+  * depformer: small transformer that autoregressively generates the
+    dep_q audio codebooks within a frame, each step conditioned on
+    transformer_out (per-step depformer_in projection) + the previous
+    token's embedding, with **weights-per-step** attention/gating
+    selected by depformer_weights_per_step_schedule
+    (lm.h:443-553, transformer.h:55-146);
+  * the LMGen delay-line cache of size max_delay+2 (+1 personaplex)
+    applying per-codebook delays on input writes and output reads
+    (lm.h:778-979) — here a [B, CT, K] int32 device array so the whole
+    generation step is one jitted program (no per-frame host round-trips,
+    unlike the reference's three D->H token syncs, SURVEY.md §3.1);
+  * -1 (zero) / -2 (ungenerated) token semantics and the audio_delay
+    suppression window (lm.h:905-918).
+
+TPU design notes: the depformer's per-step weight sets are stacked with a
+leading [W] axis and gathered by schedule index inside a lax.scan over the
+dep_q steps — the analog of the reference's unrolled per-step graph
+(lm.h:489-531) but compiled once.  Everything (delay cache, sampling,
+depformer loop) runs on device; only the optional TTS text StateMachine
+stays on host between the text and audio phases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from moshi_tpu.config import MoshiConfig
+from moshi_tpu.nn.attention import init_kv_state
+from moshi_tpu.nn.layers import (demux_embedding, init_embedding, init_linear,
+                                 init_rms_norm, linear, rms_norm,
+                                 scaled_embedding)
+from moshi_tpu.nn.sampling import sample_token
+from moshi_tpu.nn.transformer import (TransformerConfig, init_layer_params,
+                                      init_transformer_params,
+                                      init_transformer_state,
+                                      transformer_forward, transformer_layer)
+
+UNGENERATED = -2  # lm.h:713
+ZERO = -1
+
+
+@dataclass(frozen=True)
+class LMConfig:
+    dim: int = 4096
+    num_heads: int = 32
+    num_layers: int = 32
+    hidden_dim: int = 11264          # int(dim * hidden_scale)
+    context: int = 3000
+    max_period: float = 10_000.0
+    causal: bool = True
+    cross_attention: bool = False
+    card: int = 2048
+    n_q: int = 16
+    dep_q: int = 8
+    text_card: int = 32_000
+    delays: Tuple[int, ...] = ()
+    demux_second_stream: bool = False
+    # depformer
+    depformer_dim: int = 1024
+    depformer_heads: int = 16
+    depformer_layers: int = 6
+    depformer_hidden: int = 2816     # from weights; ~2.75x dim for 7B
+    depformer_context: int = 0       # 0 -> weights_per_step count
+    depformer_max_period: float = 10_000.0
+    depformer_pos_emb: str = "none"
+    depformer_multi_linear: bool = True
+    depformer_schedule: Tuple[int, ...] = ()
+    depformer_low_rank: int = 128
+    extra_heads_num: int = 0
+    extra_heads_dim: int = 2
+    delay_steps: int = 0             # audio_delay * frame_rate
+    personaplex: bool = False
+
+    # -- derived ---------------------------------------------------------
+    @property
+    def num_codebooks(self) -> int:  # text + audio streams
+        return self.n_q + 1
+
+    @property
+    def runtime_dep_q(self) -> int:  # lm.h:803-804
+        return 8 if self.personaplex else self.dep_q
+
+    @property
+    def max_delay(self) -> int:
+        return max(self.delays) if self.delays else 0
+
+    @property
+    def cache_len(self) -> int:      # lm.h:726-729
+        return self.max_delay + 2 + (1 if self.personaplex else 0)
+
+    @property
+    def schedule(self) -> Tuple[int, ...]:
+        if self.depformer_schedule:
+            return self.depformer_schedule
+        return tuple(range(self.dep_q))
+
+    @property
+    def depformer_num_weights(self) -> int:
+        return (max(self.schedule) + 1) if self.depformer_multi_linear else 1
+
+    @property
+    def text_initial(self) -> int:
+        return self.text_card
+
+    @property
+    def audio_initial(self) -> int:
+        return self.card
+
+    @property
+    def transformer(self) -> TransformerConfig:
+        return TransformerConfig(
+            dim=self.dim, num_heads=self.num_heads,
+            num_layers=self.num_layers, hidden_dim=self.hidden_dim,
+            context=self.context, causal=self.causal, norm="rms_norm_f32",
+            gating="silu", rope_max_period=self.max_period,
+            cross_attention=self.cross_attention, norm_cross="layer_norm")
+
+    @property
+    def depformer(self) -> TransformerConfig:
+        cap = self.depformer_context or len(self.schedule) or self.dep_q
+        rope = (self.depformer_max_period
+                if self.depformer_pos_emb == "rope" else 0.0)
+        return TransformerConfig(
+            dim=self.depformer_dim, num_heads=self.depformer_heads,
+            num_layers=self.depformer_layers, hidden_dim=self.depformer_hidden,
+            context=cap, capacity=cap, causal=self.causal,
+            norm="rms_norm_f32", gating="silu", rope_max_period=rope)
+
+    @classmethod
+    def from_moshi_config(cls, c: MoshiConfig, frame_rate: float = 12.5,
+                          audio_delay: float = 0.0) -> "LMConfig":
+        return cls(
+            dim=c.dim, num_heads=c.num_heads, num_layers=c.num_layers,
+            hidden_dim=int(c.dim * c.hidden_scale), context=c.context,
+            max_period=float(c.max_period), causal=c.causal,
+            cross_attention=c.cross_attention, card=c.card, n_q=c.n_q,
+            dep_q=c.dep_q, text_card=c.text_card,
+            delays=tuple(c.delays or [0] * (c.n_q + 1)),
+            demux_second_stream=c.demux_second_stream,
+            depformer_dim=c.depformer_dim,
+            depformer_heads=c.depformer_num_heads,
+            depformer_layers=c.depformer_num_layers,
+            depformer_hidden=int(c.depformer_dim *
+                                 (c.depformer_hidden_scale or 4.125)),
+            depformer_context=c.depformer_context,
+            depformer_max_period=float(c.depformer_max_period or 10_000),
+            depformer_pos_emb=c.depformer_pos_emb,
+            depformer_multi_linear=c.depformer_multi_linear,
+            depformer_schedule=tuple(c.depformer_weights_per_step_schedule),
+            depformer_low_rank=c.depformer_low_rank_embeddings,
+            extra_heads_num=c.extra_heads_num_heads,
+            extra_heads_dim=c.extra_heads_dim or 2,
+            delay_steps=int(round(audio_delay * frame_rate)),
+            personaplex=(c.model_type == "personaplex"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def _init_text_emb(key, cfg: LMConfig, dim: int, dtype):
+    if cfg.demux_second_stream:
+        k0, k1, k2 = jax.random.split(key, 3)
+        return {
+            "weight": jax.random.normal(k0, (cfg.text_card + 1, dim), dtype),
+            "out1": init_linear(k1, dim, dim, dtype=dtype),
+            "out2": init_linear(k2, dim, dim, dtype=dtype),
+        }
+    return init_embedding(key, cfg.text_card + 1, dim, dtype)
+
+
+def _init_depformer_layers(key, cfg: LMConfig, dtype):
+    """Stacked depformer layers: shared norms [L, ...], per-step attention
+    and gating weights [L, W, ...]."""
+    dcfg = cfg.depformer
+    w = cfg.depformer_num_weights
+    keys = jax.random.split(key, dcfg.num_layers)
+
+    def one_layer(k):
+        ks = jax.random.split(k, w)
+        per_step = [init_layer_params(kk, dcfg, dtype) for kk in ks]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_step)
+        return {
+            "norm1": per_step[0]["norm1"],      # norms are shared across steps
+            "norm2": per_step[0]["norm2"],
+            "self_attn": stacked["self_attn"],  # [W, ...]
+            "gating": stacked["gating"],        # [W, ...]
+        }
+
+    layers = [one_layer(k) for k in keys]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def init_lm_params(key, cfg: LMConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 12)
+    emb_scale = cfg.dim ** -0.5
+    p = {
+        "text_emb": _init_text_emb(ks[0], cfg, cfg.dim, dtype),
+        "emb": {"weight": jax.random.normal(
+            ks[1], (cfg.n_q, cfg.card + 1, cfg.dim), dtype) * emb_scale},
+        "transformer": init_transformer_params(ks[2], cfg.transformer, dtype),
+        "out_norm": init_rms_norm(cfg.dim, dtype),
+        "text_linear": init_linear(ks[3], cfg.dim, cfg.text_card, dtype=dtype),
+    }
+    # scale text emb like audio embs
+    p["text_emb"]["weight"] = p["text_emb"]["weight"] * emb_scale
+    if cfg.extra_heads_num:
+        hk = jax.random.split(ks[4], cfg.extra_heads_num)
+        heads = [init_linear(k, cfg.dim, cfg.extra_heads_dim, dtype=dtype)
+                 for k in hk]
+        p["extra_heads"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *heads)
+    if cfg.dep_q > 0:
+        dd = cfg.depformer_dim
+        dep = {
+            "in": {"weight": jax.random.normal(
+                ks[5], (cfg.depformer_num_weights, dd, cfg.dim), dtype)
+                * cfg.dim ** -0.5},
+            "text_emb": _init_text_emb(ks[6], cfg, dd, dtype),
+            "layers": _init_depformer_layers(ks[7], cfg, dtype),
+            "linears": {"weight": jax.random.normal(
+                ks[8], (cfg.dep_q, cfg.card, dd), dtype) * dd ** -0.5},
+        }
+        if cfg.dep_q > 1:
+            lr = cfg.depformer_low_rank
+            dep["emb"] = {
+                "weight": jax.random.normal(
+                    ks[9], (cfg.dep_q - 1, cfg.card + 1, lr), dtype),
+                "low_rank": {"weight": jax.random.normal(
+                    ks[10], (cfg.dep_q - 1, dd, lr), dtype) * lr ** -0.5},
+            }
+        p["depformer"] = dep
+    return p
+
+
+# ---------------------------------------------------------------------------
+# temporal transformer forward
+# ---------------------------------------------------------------------------
+
+def embed_frame(cfg: LMConfig, params, tokens, condition_sum=None,
+                dtype=jnp.float32):
+    """tokens [B, T, K] (text stream 0 + n_q audio) -> [B, T, dim]."""
+    text_ids = tokens[..., 0]
+    if cfg.demux_second_stream:
+        x = demux_embedding(params["text_emb"], text_ids, cfg.text_card + 1,
+                            dtype)
+    else:
+        x = scaled_embedding(params["text_emb"], text_ids, dtype)
+    audio_ids = jnp.moveaxis(tokens[..., 1:], -1, 0)       # [n_q, B, T]
+    tables = params["emb"]["weight"]                        # [n_q, card+1, dim]
+
+    def one(table, ids):
+        return scaled_embedding({"weight": table}, ids, dtype)
+    audio_emb = jax.vmap(one)(tables, audio_ids)            # [n_q, B, T, dim]
+    x = x + jnp.sum(audio_emb, axis=0)
+    if condition_sum is not None:
+        x = x + condition_sum[:, None, :].astype(x.dtype)
+    return x
+
+
+def temporal_forward(cfg: LMConfig, params, kv_state, tokens, offset,
+                     condition_sum=None, cross_kv=None):
+    """tokens [B, T, K] -> (transformer_out [B, T, dim],
+    text_logits [B, T, text_card], new_kv_state)."""
+    x = embed_frame(cfg, params, tokens, condition_sum)
+    h, new_kv = transformer_forward(cfg.transformer, params["transformer"],
+                                    kv_state, x, offset, cross_kv)
+    h = rms_norm(params["out_norm"], h)
+    logits = linear(params["text_linear"], h, out_dtype=jnp.float32)
+    return h, logits, new_kv
+
+
+# ---------------------------------------------------------------------------
+# depformer
+# ---------------------------------------------------------------------------
+
+def _gather_step(tree, idx):
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
+        tree)
+
+
+def _depformer_text_embed(cfg: LMConfig, dep_params, text_token):
+    if cfg.demux_second_stream:
+        return demux_embedding(dep_params["text_emb"], text_token,
+                               cfg.text_card + 1)
+    return scaled_embedding(dep_params["text_emb"], text_token)
+
+
+def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
+                       key, temp: float, top_k: int):
+    """Generate dep_q audio tokens for one frame.
+
+    transformer_out: [B, dim]; text_token: [B] (already machine-processed
+    for TTS).  Returns tokens [B, dep_q] int32.  The depformer KV state is
+    per-frame (capacity = dep_q / depformer_context) and created fresh here
+    — the reference resets it every frame too (lm.h:478-553).
+    """
+    dep = params["depformer"]
+    dcfg = cfg.depformer
+    dep_q = cfg.runtime_dep_q
+    b = transformer_out.shape[0]
+    schedule = jnp.asarray(cfg.schedule[:dep_q] if len(cfg.schedule) >= dep_q
+                           else list(range(dep_q)), jnp.int32)
+    kv0 = init_transformer_state(dcfg, b)
+    keys = jax.random.split(key, dep_q)
+
+    def step(carry, xs):
+        prev_token, kv = carry
+        cb, k_cb = xs
+        w_idx = schedule[cb]
+        # per-step input projection of the temporal hidden state
+        w_in = _gather_step(dep["in"], w_idx)
+        h = linear(w_in, transformer_out)                   # [B, dd]
+
+        def text_branch(_):
+            return _depformer_text_embed(cfg, dep, text_token)
+
+        def audio_branch(_):
+            i = jnp.maximum(cb - 1, 0)
+            table = jax.lax.dynamic_index_in_dim(dep["emb"]["weight"], i, 0,
+                                                 keepdims=False)
+            lr_w = jax.lax.dynamic_index_in_dim(
+                dep["emb"]["low_rank"]["weight"], i, 0, keepdims=False)
+            e = scaled_embedding({"weight": table}, prev_token)
+            return linear({"weight": lr_w}, e)
+
+        if cfg.dep_q > 1:
+            tok_emb = jax.lax.cond(cb == 0, text_branch, audio_branch,
+                                   operand=None)
+        else:
+            tok_emb = text_branch(None)
+        x = (h + tok_emb)[:, None, :]                       # [B, 1, dd]
+
+        # one pass through the depformer stack with per-step weights
+        def layer_body(hh, per_layer):
+            lp, kv_l = per_layer
+            layer_params = {
+                "norm1": lp["norm1"],
+                "norm2": lp["norm2"],
+                "self_attn": _gather_step(lp["self_attn"], w_idx),
+                "gating": _gather_step(lp["gating"], w_idx),
+            }
+            y, new_kv_l = transformer_layer(
+                dcfg, layer_params, kv_l, hh,
+                jnp.full((b,), cb, jnp.int32))
+            return y, new_kv_l
+
+        y, new_kv = jax.lax.scan(layer_body, x, (dep["layers"], kv))
+        w_lin = _gather_step(dep["linears"], cb)
+        logits = linear(w_lin, y[:, 0]).astype(jnp.float32)  # [B, card]
+        token = sample_token(logits, k_cb, temp, top_k)
+        return (token, new_kv), token
+
+    init = (text_token, kv0)  # prev_token unused at cb=0
+    (_, _), tokens = jax.lax.scan(
+        step, init, (jnp.arange(dep_q, dtype=jnp.int32), keys))
+    return jnp.moveaxis(tokens, 0, 1)                       # [B, dep_q]
+
+
+# ---------------------------------------------------------------------------
+# delay cache (device-side LMGen state, lm.h:778-979)
+# ---------------------------------------------------------------------------
+
+def init_gen_state(cfg: LMConfig, batch: int, key=None):
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return {
+        "transformer": init_transformer_state(cfg.transformer, batch),
+        "cache": jnp.full((batch, cfg.cache_len, cfg.num_codebooks),
+                          UNGENERATED, jnp.int32),
+        "offset": jnp.zeros((batch,), jnp.int32),
+        "rng": key,
+    }
+
+
+def _delays_arr(cfg: LMConfig):
+    d = list(cfg.delays) if cfg.delays else [0] * cfg.num_codebooks
+    if len(d) < cfg.num_codebooks:
+        d = d + [0] * (cfg.num_codebooks - len(d))
+    return jnp.asarray(d[: cfg.num_codebooks], jnp.int32)
+
+
+def write_stream_tokens(cfg: LMConfig, cache, offset, tokens, stream_start):
+    """Scatter provided tokens [B, n] for streams
+    [stream_start, stream_start+n) at slots (offset + delay) % CT
+    (lm.h:806-825)."""
+    b, n = tokens.shape
+    ct = cfg.cache_len
+    delays = _delays_arr(cfg)[stream_start: stream_start + n]
+    slots = (offset[:, None] + delays[None, :]) % ct        # [B, n]
+    bi = jnp.arange(b)[:, None]
+    si = jnp.arange(stream_start, stream_start + n)[None, :]
+    return cache.at[bi, slots, si].set(tokens.astype(jnp.int32))
+
+
+def build_input_frame(cfg: LMConfig, cache, offset):
+    """Model input tokens [B, 1, K] for the current step (lm.h:827-835)."""
+    ct = cfg.cache_len
+    b = cache.shape[0]
+    pos = offset % ct
+    cached = cache[jnp.arange(b), pos]                      # [B, K]
+    delays = _delays_arr(cfg)
+    initial = jnp.concatenate([
+        jnp.asarray([cfg.text_initial], jnp.int32),
+        jnp.full((cfg.n_q,), cfg.audio_initial, jnp.int32)])
+    is_init = offset[:, None] <= delays[None, :]
+    return jnp.where(is_init, initial[None, :], cached)[:, None, :]
+
+
+def write_generated(cfg: LMConfig, cache, new_offset, text_token,
+                    audio_tokens):
+    """Write this step's generated tokens at slot new_offset % CT
+    (lm.h:940-948; note the write happens after offset++)."""
+    b = cache.shape[0]
+    ct = cfg.cache_len
+    pos = new_offset % ct
+    bi = jnp.arange(b)
+    cache = cache.at[bi, pos, 0].set(text_token.astype(jnp.int32))
+    dep_q = audio_tokens.shape[1]
+    si = jnp.arange(1, dep_q + 1)[None, :]
+    cache = cache.at[bi[:, None], pos[:, None], si].set(
+        audio_tokens.astype(jnp.int32))
+    return cache
+
+
+def read_output(cfg: LMConfig, cache, new_offset):
+    """Un-delayed output frame (lm.h:950-966): stream i is read at slot
+    (offset - max_delay + delays[i]) % CT.  Returns (text [B],
+    audio [B, dep_q], valid [B])."""
+    b = cache.shape[0]
+    ct = cfg.cache_len
+    dep_q = cfg.runtime_dep_q
+    delays = _delays_arr(cfg)[: dep_q + 1]
+    slots = (new_offset[:, None] - cfg.max_delay + delays[None, :]) % ct
+    bi = jnp.arange(b)[:, None]
+    si = jnp.arange(dep_q + 1)[None, :]
+    frame = cache[bi, slots, si]                            # [B, dep_q+1]
+    text = frame[:, 0]
+    audio = frame[:, 1:]
+    valid = (new_offset > cfg.max_delay) & jnp.all(audio != ZERO, axis=-1) \
+        & jnp.all(audio != UNGENERATED, axis=-1)
+    return text, audio, valid
+
+
+# ---------------------------------------------------------------------------
+# generation steps
+# ---------------------------------------------------------------------------
+
+def lm_text_step(cfg: LMConfig, params, state, other_audio=None,
+                 forced_frame=None, condition_sum=None, cross_kv=None,
+                 temp_text: float = 0.0, top_k_text: int = 25):
+    """Phase A of one frame: write provided inputs, run the temporal
+    transformer, sample the text token.
+
+    other_audio: [B, n_q - dep_q] other-stream tokens (STS/STT input side)
+    forced_frame: [B, K] full provided frame (prompt replay); suppresses
+        the generated-token write in phase B (lm.h:806-818).
+    Returns (sampled_text [B], transformer_out [B, dim], new_state).
+    """
+    cache = state["cache"]
+    offset = state["offset"]
+    provided = forced_frame is not None
+    if provided:
+        cache = write_stream_tokens(cfg, cache, offset, forced_frame, 0)
+    elif other_audio is not None and other_audio.shape[1] > 0:
+        start = cfg.runtime_dep_q + 1
+        cache = write_stream_tokens(cfg, cache, offset, other_audio, start)
+    tokens = build_input_frame(cfg, cache, offset)
+    h, logits, new_kv = temporal_forward(cfg, params, state["transformer"],
+                                         tokens, offset, condition_sum,
+                                         cross_kv)
+    rng, k1 = jax.random.split(state["rng"])
+    text_token = sample_token(logits[:, -1], k1, temp_text, top_k_text)
+    new_state = {"transformer": new_kv, "cache": cache, "offset": offset,
+                 "rng": rng}
+    return text_token, h[:, -1], new_state
+
+
+def lm_audio_step(cfg: LMConfig, params, state, text_token, transformer_out,
+                  provided: bool = False, forced_audio=None,
+                  depformer_replace: bool = False,
+                  temp: float = 0.0, top_k: int = 250):
+    """Phase B: depformer generation + delay-cache update + output read.
+
+    text_token: [B] final text token (possibly machine-replaced on host).
+    forced_audio: [B, dep_q] with UNGENERATED = keep-generated (voice/audio
+        prefixes, lm.h:920-933).
+    Returns (outputs dict, new_state)."""
+    cache = state["cache"]
+    offset = state["offset"]
+    b = cache.shape[0]
+    dep_q = cfg.runtime_dep_q
+    rng = state["rng"]
+    if cfg.dep_q > 0 and not depformer_replace:
+        rng, k2 = jax.random.split(rng)
+        audio = depformer_generate(cfg, params, transformer_out, text_token,
+                                   k2, temp, top_k)
+    else:
+        audio = jnp.full((b, dep_q), ZERO, jnp.int32)
+    if cfg.delay_steps:
+        delays = _delays_arr(cfg)[1: dep_q + 1]
+        early = offset[:, None] < (delays[None, :] + cfg.delay_steps)
+        audio = jnp.where(early, ZERO, audio)
+    if forced_audio is not None:
+        audio = jnp.where(forced_audio != UNGENERATED, forced_audio, audio)
+    new_offset = offset + 1
+    if not provided:
+        cache = write_generated(cfg, cache, new_offset, text_token, audio)
+    out_text, out_audio, valid = read_output(cfg, cache, new_offset)
+    if depformer_replace:
+        valid = jnp.zeros_like(valid)
+    outputs = {"text": out_text, "audio": out_audio, "valid": valid,
+               "sampled_text": text_token}
+    if cfg.extra_heads_num > 2:
+        vad_w = _gather_step(params["extra_heads"], 2)
+        vad_logits = linear(vad_w, transformer_out).astype(jnp.float32)
+        outputs["vad"] = jax.nn.softmax(vad_logits, axis=-1)[:, 0]
+    new_state = {"transformer": state["transformer"], "cache": cache,
+                 "offset": new_offset, "rng": rng}
+    return outputs, new_state
+
+
+def lm_gen_step(cfg: LMConfig, params, state, other_audio=None,
+                forced_frame=None, forced_text=None, forced_audio=None,
+                condition_sum=None, cross_kv=None,
+                depformer_replace: bool = False,
+                temp: float = 0.8, temp_text: float = 0.7,
+                top_k: int = 250, top_k_text: int = 25):
+    """Fused single-jit frame step (STS / STT / machine-less TTS):
+    temporal forward + text sampling + depformer + delay cache, one device
+    launch per 80 ms frame.  forced_text [B] (>= 0 entries override the
+    sampled token) supports host-side prefix feeding without splitting
+    the program."""
+    text_token, h, state = lm_text_step(
+        cfg, params, state, other_audio=other_audio,
+        forced_frame=forced_frame, condition_sum=condition_sum,
+        cross_kv=cross_kv, temp_text=temp_text, top_k_text=top_k_text)
+    if forced_text is not None:
+        text_token = jnp.where(forced_text >= 0, forced_text, text_token)
+    return lm_audio_step(
+        cfg, params, state, text_token, h,
+        provided=forced_frame is not None, forced_audio=forced_audio,
+        depformer_replace=depformer_replace, temp=temp, top_k=top_k)

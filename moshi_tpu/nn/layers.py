@@ -117,26 +117,32 @@ def scaled_embedding(params, ids, out_dtype=jnp.float32, zero_id: int = -1):
 
     The reference computes a host-side (index, scale) pair
     (lm_utils.h:14-60); on TPU we clamp the id and multiply by a mask —
-    both stay on device.
+    both stay on device.  Any negative id (zero=-1, ungenerated=-2) maps
+    to the zero vector.
     """
-    mask = (ids != zero_id)
+    del zero_id
+    mask = (ids >= 0)
     safe = jnp.where(mask, ids, 0)
     emb = embedding_lookup(params, safe, out_dtype)
     return emb * mask[..., None].astype(out_dtype)
 
 
-def demux_embedding(params_first, params_second, ids, card: int,
-                    out_dtype=jnp.float32):
+def demux_embedding(params, ids, card: int, out_dtype=jnp.float32):
     """Demuxed two-stream text embedding (lm_utils.h:96-217).
 
-    A muxed token t encodes two streams: first = t % N, second = t / N - 1
-    with N = card (+1 shift so that `second == -1` means absent).  Returns
-    the summed embedding of both streams; -1 ids produce zeros.
+    A muxed token t encodes two text streams: first = t % N,
+    second = t / N - 1 with N = card (TokenIds.card, e.g. 8001); the +1
+    shift makes `second == -1` mean absent.  Both are looked up in the
+    *shared* table, passed through out1/out2 projections, and summed.
+    The integer demux stays in-jit (cheap int ops on device; the
+    reference notes it must run on the host only because GGML lacks
+    integer div, lm_utils.h:9-12).
+
+    params = {"weight": [N, D], "out1": linear, "out2": linear}.
     """
-    n = card
     has = ids >= 0
-    first = jnp.where(has, ids % n, -1)
-    second = jnp.where(has, ids // n - 1, -1)
-    e1 = scaled_embedding(params_first, first, out_dtype)
-    e2 = scaled_embedding(params_second, second, out_dtype)
-    return e1 + e2
+    first = jnp.where(has, ids % card, -1)
+    second = jnp.where(has, ids // card - 1, -1)
+    e1 = linear(params["out1"], scaled_embedding(params, first, out_dtype))
+    e2 = linear(params["out2"], scaled_embedding(params, second, out_dtype))
+    return (e1 + e2).astype(out_dtype)

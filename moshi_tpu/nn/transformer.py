@@ -44,6 +44,7 @@ class TransformerConfig:
     use_layer_scale: bool = False
     rope_max_period: float = 10_000.0  # 0 -> no positional embedding
     cross_attention: bool = False
+    norm_cross: str = "layer_norm"     # cross-attn pre-norm (lm_default.h:34)
     bias_proj: bool = False            # attention projection biases
     bias_ffn: bool = False             # FFN biases (torch Linear default)
 
@@ -80,7 +81,9 @@ def init_layer_params(key, cfg: TransformerConfig, dtype=jnp.float32):
         p["layer_scale_1"] = {"scale": jnp.full((cfg.dim,), 0.01, dtype)}
         p["layer_scale_2"] = {"scale": jnp.full((cfg.dim,), 0.01, dtype)}
     if cfg.cross_attention:
-        p["norm_cross"] = _init_norm(cfg, dtype)
+        p["norm_cross"] = (init_rms_norm(cfg.dim, dtype)
+                           if cfg.norm_cross.startswith("rms_norm")
+                           else init_layer_norm(cfg.dim, dtype))
         p["cross_attention"] = init_mha_params(ks[3], cfg.mha, dtype)
     return p
 
@@ -108,7 +111,7 @@ def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
         attn = layer_scale(params["layer_scale_1"], attn)
     x = x + attn
     if cfg.cross_attention and cross_kv is not None:
-        hc = apply_norm(cfg.norm, params["norm_cross"], x)
+        hc = apply_norm(cfg.norm_cross, params["norm_cross"], x)
         x = x + cross_mha(cfg.mha, params["cross_attention"], hc, cross_kv)
     h2 = apply_norm(cfg.norm, params["norm2"], x)
     if cfg.gating:
