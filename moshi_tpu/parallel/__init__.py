@@ -1,0 +1,3 @@
+from moshi_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh, lm_param_pspecs, lm_state_pspecs, shard_tree, replicate_tree,
+)
