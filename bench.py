@@ -1,0 +1,152 @@
+"""Benchmark: moshi 7B q4_k full-duplex STS frame rate on one TPU chip.
+
+Measures the reference's headline metric (`moshi-sts --bench`,
+/root/reference/README.md:353-360: frames/s over silence frames at the
+7B q4_k config; real-time = 12.5 fps; best reference GPU = 19.49 fps on
+an RTX 2070) for this framework's fused TPU path:
+
+    mimi encode (1920 samples) -> LM frame step (temporal 32L + text
+    sampling + depformer 8 codebooks + delay cache, all one jit) ->
+    mimi decode (1920 samples)
+
+Weights are synthetic (random packed q4_k bits — identical compute cost
+to real weights).  Prints ONE JSON line.
+
+Usage: python bench.py [--small] [--frames N] [--no-mimi]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny config (CPU smoke test)")
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--no-mimi", action="store_true",
+                    help="LM step only")
+    ap.add_argument("--fmt", default="q4_k", choices=["q4_k", "q8_0", "none"])
+    ap.add_argument("--pallas", action="store_true",
+                    help="use fused Pallas dequant+matmul kernels")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
+    from moshi_tpu.models.mimi import MimiConfig, MimiModel
+    from moshi_tpu.nn.seanet import SEANetConfig
+    from moshi_tpu.runtime.synth import synth_lm_params
+
+    if args.pallas:
+        from moshi_tpu.quant.formats import enable_pallas
+        enable_pallas(True)
+
+    fmt = None if args.fmt == "none" else args.fmt
+    if args.small:
+        cfg = LMConfig(dim=256, num_heads=4, num_layers=2, hidden_dim=512,
+                       context=64, card=256, n_q=4, dep_q=2, text_card=512,
+                       delays=(0, 0, 1, 1, 2), depformer_dim=256,
+                       depformer_heads=4, depformer_layers=2,
+                       depformer_hidden=512, depformer_low_rank=16)
+        mimi_cfg = MimiConfig(
+            n_q=2, total_codebooks=4, dim=32,
+            seanet=SEANetConfig(dimension=32, n_filters=4, ratios=(4, 3, 2, 2)),
+            codebook_dim=16, codebook_size=64, transformer_layers=2,
+            transformer_heads=4, transformer_context=16,
+            transformer_hidden=64)
+        frame_samples = mimi_cfg.seanet.hop_length * 2
+    else:
+        cfg = LMConfig(delays=(0, 0, 1, 1, 1, 1, 1, 1, 1, 0,
+                               1, 1, 1, 1, 1, 1, 1))  # moshi 7B
+        mimi_cfg = MimiConfig(n_q=16)
+        frame_samples = 1920
+
+    key = jax.random.PRNGKey(0)
+    params = synth_lm_params(key, cfg, fmt=fmt)
+    state = init_gen_state(cfg, 1)
+    n_other = cfg.n_q - cfg.dep_q
+
+    lm_step = jax.jit(
+        lambda p, s, o: lm_gen_step(cfg, p, s, other_audio=o,
+                                    temp=0.8, temp_text=0.7,
+                                    top_k=250, top_k_text=25),
+        donate_argnums=(1,))
+
+    use_mimi = not args.no_mimi
+    if use_mimi:
+        mimi = MimiModel(mimi_cfg)
+        mimi_params = mimi.init_params(jax.random.PRNGKey(1), jnp.bfloat16)
+        enc_state = mimi.init_encode_state(1, jnp.bfloat16)
+        dec_state = mimi.init_decode_state(1, jnp.bfloat16)
+        enc_step = jax.jit(lambda p, s, a: mimi.encode_step(p, s, a),
+                           donate_argnums=(1,))
+        dec_step = jax.jit(lambda p, s, c: mimi.decode_step(p, s, c),
+                           donate_argnums=(1,))
+        audio_in = jnp.zeros((1, frame_samples), jnp.bfloat16)
+
+    other = jnp.zeros((1, n_other), jnp.int32)
+    if not use_mimi:
+        enc_state = dec_state = None
+
+    def pad_codes(audio):
+        # the decoder consumes n_q codes; the LM emits dep_q — pad the
+        # remaining acoustic books with 0 (the STS tools do the same for
+        # the bench's silence-driven loop)
+        b, dq = audio.shape
+        if dq < mimi_cfg.n_q:
+            pad = jnp.zeros((b, mimi_cfg.n_q - dq), audio.dtype)
+            return jnp.concatenate([audio, pad], axis=-1)
+        return audio[:, : mimi_cfg.n_q]
+
+    def one_frame(state, enc_state, dec_state):
+        if use_mimi:
+            codes, enc_state = enc_step(mimi_params, enc_state, audio_in)
+            inp = codes[:, 0, :n_other] if n_other else other
+        else:
+            inp = other
+        out, state = lm_step(params, state, inp)
+        if use_mimi:
+            dec_codes = pad_codes(jnp.where(out["audio"] < 0, 0, out["audio"]))
+            wav, dec_state = dec_step(mimi_params, dec_state,
+                                      dec_codes[:, None, :])
+            jax.block_until_ready(wav)
+        else:
+            jax.block_until_ready(out["audio"])
+        return state, enc_state, dec_state
+
+    # warmup / compile
+    for _ in range(args.warmup):
+        state, enc_state, dec_state = one_frame(state, enc_state, dec_state)
+
+    lat = []
+    t_all = time.perf_counter()
+    for _ in range(args.frames):
+        t0 = time.perf_counter()
+        state, enc_state, dec_state = one_frame(state, enc_state, dec_state)
+        lat.append(time.perf_counter() - t0)
+    total = time.perf_counter() - t_all
+
+    fps = args.frames / total
+    p50 = float(np.percentile(lat, 50) * 1000)
+    baseline = 19.49  # RTX 2070 sts-q4_k fps (BASELINE.md row 1)
+    print(json.dumps({
+        "metric": "sts_frames_per_sec_7b_q4k" if not args.small
+                  else "sts_frames_per_sec_small",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+        "p50_ms": round(p50, 2),
+        "realtime_x": round(fps / 12.5, 2),
+        "device": str(jax.devices()[0]),
+        "fmt": args.fmt,
+        "pallas": args.pallas,
+    }))
+
+
+if __name__ == "__main__":
+    main()

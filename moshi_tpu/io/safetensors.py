@@ -112,7 +112,8 @@ class SafeTensors:
             npdt = _DTYPES[dt]
             if npdt is None:
                 raise ValueError(f"unsupported dtype {dt} for {name}")
-            arr = np.frombuffer(buf, dtype=npdt)
+            # copy so the mmap can be closed independently of the arrays
+            arr = np.frombuffer(buf, dtype=npdt).copy()
         return arr.reshape(shape)
 
     def close(self):
