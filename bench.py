@@ -68,66 +68,45 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = synth_lm_params(key, cfg, fmt=fmt)
-    state = init_gen_state(cfg, 1)
-    n_other = cfg.n_q - cfg.dep_q
-
-    lm_step = jax.jit(
-        lambda p, s, o: lm_gen_step(cfg, p, s, other_audio=o,
-                                    temp=0.8, temp_text=0.7,
-                                    top_k=250, top_k_text=25),
-        donate_argnums=(1,))
-
     use_mimi = not args.no_mimi
+
     if use_mimi:
+        from moshi_tpu.runtime.pipeline import STSPipeline
         mimi = MimiModel(mimi_cfg)
         mimi_params = mimi.init_params(jax.random.PRNGKey(1), jnp.bfloat16)
-        enc_state = mimi.init_encode_state(1, jnp.bfloat16)
-        dec_state = mimi.init_decode_state(1, jnp.bfloat16)
-        enc_step = jax.jit(lambda p, s, a: mimi.encode_step(p, s, a),
-                           donate_argnums=(1,))
-        dec_step = jax.jit(lambda p, s, c: mimi.decode_step(p, s, c),
-                           donate_argnums=(1,))
-        audio_in = jnp.zeros((1, frame_samples), jnp.bfloat16)
+        pipe = STSPipeline(mimi, cfg, temp=0.8, temp_text=0.7,
+                           top_k=250, top_k_text=25)
+        state = pipe.init_state(1)
+        audio_in = np.zeros((1, frame_samples), np.float32)
 
-    other = jnp.zeros((1, n_other), jnp.int32)
-    if not use_mimi:
-        enc_state = dec_state = None
+        def one_frame(state):
+            out, state = pipe.step(mimi_params, params, state, audio_in)
+            jax.block_until_ready(out["audio_out"])
+            return state
+    else:
+        state = init_gen_state(cfg, 1)
+        n_other = cfg.n_q - cfg.dep_q
+        other = jnp.zeros((1, n_other), jnp.int32)
+        lm_step = jax.jit(
+            lambda p, s, o: lm_gen_step(cfg, p, s, other_audio=o,
+                                        temp=0.8, temp_text=0.7,
+                                        top_k=250, top_k_text=25),
+            donate_argnums=(1,))
 
-    def pad_codes(audio):
-        # the decoder consumes n_q codes; the LM emits dep_q — pad the
-        # remaining acoustic books with 0 (the STS tools do the same for
-        # the bench's silence-driven loop)
-        b, dq = audio.shape
-        if dq < mimi_cfg.n_q:
-            pad = jnp.zeros((b, mimi_cfg.n_q - dq), audio.dtype)
-            return jnp.concatenate([audio, pad], axis=-1)
-        return audio[:, : mimi_cfg.n_q]
-
-    def one_frame(state, enc_state, dec_state):
-        if use_mimi:
-            codes, enc_state = enc_step(mimi_params, enc_state, audio_in)
-            inp = codes[:, 0, :n_other] if n_other else other
-        else:
-            inp = other
-        out, state = lm_step(params, state, inp)
-        if use_mimi:
-            dec_codes = pad_codes(jnp.where(out["audio"] < 0, 0, out["audio"]))
-            wav, dec_state = dec_step(mimi_params, dec_state,
-                                      dec_codes[:, None, :])
-            jax.block_until_ready(wav)
-        else:
+        def one_frame(state):
+            out, state = lm_step(params, state, other)
             jax.block_until_ready(out["audio"])
-        return state, enc_state, dec_state
+            return state
 
     # warmup / compile
     for _ in range(args.warmup):
-        state, enc_state, dec_state = one_frame(state, enc_state, dec_state)
+        state = one_frame(state)
 
     lat = []
     t_all = time.perf_counter()
     for _ in range(args.frames):
         t0 = time.perf_counter()
-        state, enc_state, dec_state = one_frame(state, enc_state, dec_state)
+        state = one_frame(state)
         lat.append(time.perf_counter() - t0)
     total = time.perf_counter() - t_all
 

@@ -1,0 +1,195 @@
+"""Fused full-duplex frame pipeline: ONE device launch per 80 ms frame.
+
+The reference runs three separate prebuilt graphs per frame with three
+device->host token readbacks between them (SURVEY.md §3.1-3.2: mimi
+encode graph -> LM graph -> depformer graph -> mimi decode graph).  On
+TPU every launch costs dispatch latency (severe over remote links), so
+the whole STS frame —
+
+    mic audio [B, 1920] -> mimi encode -> other-stream tokens
+    -> LM temporal + text sampling + depformer + delay cache
+    -> mimi decode -> speaker audio [B, 1920]
+
+— is a single jitted program here; the only host traffic per frame is
+the input frame up and the (audio, text token) down.  This removes the
+per-frame sync points the reference's design is bound by (SURVEY.md §7.3
+"the three D->H token syncs per frame are the latency trap").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
+from moshi_tpu.models.mimi import MimiModel
+
+
+class STSPipeline:
+    """Full-duplex speech-to-speech: one fused step per frame."""
+
+    def __init__(self, mimi: MimiModel, lm_cfg: LMConfig, *,
+                 temp: float = 0.8, temp_text: float = 0.7,
+                 top_k: int = 250, top_k_text: int = 25,
+                 mimi_dtype=jnp.bfloat16):
+        self.mimi = mimi
+        self.lm_cfg = lm_cfg
+        self.mimi_dtype = mimi_dtype
+        self.frame_samples = (mimi.cfg.seanet.hop_length *
+                              mimi.cfg.frames_per_step)
+        n_other = lm_cfg.n_q - lm_cfg.runtime_dep_q
+        dep_q = lm_cfg.runtime_dep_q
+        mimi_n_q = mimi.cfg.n_q
+
+        def frame(mimi_params, lm_params, state, audio_in, condition_sum,
+                  cross_kv):
+            codes, enc_state = mimi.encode_step(
+                mimi_params, state["enc"], audio_in.astype(mimi_dtype))
+            other = codes[:, 0, :n_other] if n_other else None
+            out, lm_state = lm_gen_step(
+                lm_cfg, lm_params, state["lm"], other_audio=other,
+                condition_sum=condition_sum, cross_kv=cross_kv,
+                temp=temp, temp_text=temp_text,
+                top_k=top_k, top_k_text=top_k_text)
+            # decode our dep_q streams (pad remaining books with 0; -1 -> 0)
+            audio_codes = jnp.where(out["audio"] < 0, 0, out["audio"])
+            if dep_q < mimi_n_q:
+                pad = jnp.zeros((audio_codes.shape[0], mimi_n_q - dep_q),
+                                jnp.int32)
+                audio_codes = jnp.concatenate([audio_codes, pad], axis=-1)
+            wav, dec_state = mimi.decode_step(
+                mimi_params, state["dec"], audio_codes[:, None, :mimi_n_q])
+            new_state = {"enc": enc_state, "lm": lm_state, "dec": dec_state}
+            return {"audio_out": wav.astype(jnp.float32),
+                    "text": out["text"], "valid": out["valid"],
+                    "audio_tokens": out["audio"]}, new_state
+
+        self._frame = jax.jit(frame, donate_argnums=(2,))
+
+    def init_state(self, batch: int, key=None):
+        return {
+            "enc": self.mimi.init_encode_state(batch, self.mimi_dtype),
+            "lm": init_gen_state(self.lm_cfg, batch, key),
+            "dec": self.mimi.init_decode_state(batch, self.mimi_dtype),
+        }
+
+    def step(self, mimi_params, lm_params, state, audio_in,
+             condition_sum=None, cross_kv=None):
+        """audio_in [B, frame_samples] f32 -> (outputs, new_state).
+        Single device launch."""
+        return self._frame(mimi_params, lm_params, state,
+                           jnp.asarray(audio_in), condition_sum, cross_kv)
+
+
+class STTPipeline:
+    """Speech-to-text: mimi encode + LM (dep_q=0) + VAD in one launch."""
+
+    def __init__(self, mimi: MimiModel, lm_cfg: LMConfig, *,
+                 temp_text: float = 0.0, top_k_text: int = 25,
+                 mimi_dtype=jnp.bfloat16):
+        self.mimi = mimi
+        self.lm_cfg = lm_cfg
+        self.mimi_dtype = mimi_dtype
+        self.frame_samples = (mimi.cfg.seanet.hop_length *
+                              mimi.cfg.frames_per_step)
+        n_other = lm_cfg.n_q - lm_cfg.runtime_dep_q  # == n_q when dep_q=0
+
+        def frame(mimi_params, lm_params, state, audio_in):
+            codes, enc_state = mimi.encode_step(
+                mimi_params, state["enc"], audio_in.astype(mimi_dtype))
+            other = codes[:, 0, :n_other]
+            out, lm_state = lm_gen_step(
+                lm_cfg, lm_params, state["lm"], other_audio=other,
+                temp_text=temp_text, top_k_text=top_k_text)
+            return {"text": out["sampled_text"],
+                    "vad": out.get("vad",
+                                   jnp.zeros(audio_in.shape[0],
+                                             jnp.float32))}, \
+                {"enc": enc_state, "lm": lm_state}
+
+        self._frame = jax.jit(frame, donate_argnums=(2,))
+
+    def init_state(self, batch: int, key=None):
+        return {
+            "enc": self.mimi.init_encode_state(batch, self.mimi_dtype),
+            "lm": init_gen_state(self.lm_cfg, batch, key),
+        }
+
+    def step(self, mimi_params, lm_params, state, audio_in):
+        return self._frame(mimi_params, lm_params, state,
+                           jnp.asarray(audio_in))
+
+
+class TTSPipeline:
+    """TTS frame: LM (text phase on device, machine on host between
+    phases) + mimi decode.  Two launches per frame when a StateMachine is
+    active; one when text is pre-forced."""
+
+    def __init__(self, mimi: MimiModel, lm_cfg: LMConfig, *,
+                 temp: float = 0.6, temp_text: float = 0.6,
+                 top_k: int = 250, top_k_text: int = 25,
+                 mimi_dtype=jnp.bfloat16):
+        from moshi_tpu.models.lm import lm_audio_step, lm_text_step
+        self.mimi = mimi
+        self.lm_cfg = lm_cfg
+        self.mimi_dtype = mimi_dtype
+        dep_q = lm_cfg.runtime_dep_q
+        mimi_n_q = mimi.cfg.n_q
+
+        def text_phase(lm_params, lm_state, cond, ckv):
+            return lm_text_step(lm_cfg, lm_params, lm_state,
+                                condition_sum=cond, cross_kv=ckv,
+                                temp_text=temp_text, top_k_text=top_k_text)
+
+        def audio_phase(mimi_params, lm_params, state, text_token, h,
+                        replace):
+            out, lm_state = lm_audio_step(
+                lm_cfg, lm_params, state["lm"], text_token, h,
+                depformer_replace=replace, temp=temp, top_k=top_k)
+            audio_codes = jnp.where(out["audio"] < 0, 0, out["audio"])
+            if dep_q < mimi_n_q:
+                pad = jnp.zeros((audio_codes.shape[0], mimi_n_q - dep_q),
+                                jnp.int32)
+                audio_codes = jnp.concatenate([audio_codes, pad], axis=-1)
+            wav, dec_state = mimi.decode_step(
+                mimi_params, state["dec"], audio_codes[:, None, :mimi_n_q])
+            return {"audio_out": wav.astype(jnp.float32),
+                    "valid": out["valid"], "text": out["text"],
+                    "audio_tokens": out["audio"]}, \
+                {"lm": lm_state, "dec": dec_state}
+
+        self._text_phase = jax.jit(text_phase)
+        self._audio_phase = jax.jit(audio_phase, static_argnums=(5,))
+
+    def init_state(self, batch: int, key=None):
+        return {
+            "lm": init_gen_state(self.lm_cfg, batch, key),
+            "dec": self.mimi.init_decode_state(batch, self.mimi_dtype),
+        }
+
+    def step(self, mimi_params, lm_params, state, machine=None,
+             machine_state=None, offset: int = 0, forced_text=None,
+             condition_sum=None, cross_kv=None,
+             depformer_replace: bool = False):
+        """One TTS frame.  When a machine is given, the sampled text token
+        round-trips through the host FSM between the two launches
+        (the reference's on_text hook, lm.h:881-899)."""
+        tok, h, lm_state = self._text_phase(lm_params, state["lm"],
+                                            condition_sum, cross_kv)
+        if forced_text is not None:
+            text_token = int(forced_text)
+        elif machine is not None:
+            text_token = machine.process(offset, machine_state,
+                                         int(np.asarray(tok)[0]))
+        else:
+            text_token = None
+        if text_token is not None:
+            b = np.asarray(tok).shape[0]
+            tok = jnp.full((b,), text_token, jnp.int32)
+        out, new_sub = self._audio_phase(
+            mimi_params, lm_params, {"lm": lm_state, "dec": state["dec"]},
+            tok, h, depformer_replace)
+        return out, new_sub

