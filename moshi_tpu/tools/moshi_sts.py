@@ -1,0 +1,116 @@
+"""moshi-sts: full-duplex speech-to-speech.
+
+Parity with /root/reference/tools/moshi-sts.cpp: input audio -> mimi
+encode -> LM (other stream) -> our audio tokens -> mimi decode -> output
+audio, with live text transcript; ``--bench`` = 125 silence frames with
+fps report (moshi-sts.cpp:770-806); ``--delay`` for file-input echo mode.
+
+On TPU the whole frame is ONE fused device launch (runtime/pipeline.py).
+
+Usage: python -m moshi_tpu.tools.moshi_sts -c config.json -i in.wav -o out.wav
+       python -m moshi_tpu.tools.moshi_sts --synthetic --bench
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from moshi_tpu import FRAME_SIZE, SAMPLE_RATE
+from moshi_tpu.config import parse_config
+from moshi_tpu.tools.common import (add_common_args, list_devices, load_lm,
+                                    load_mimi, load_tokenizer,
+                                    read_audio_24k)
+
+BENCH_FRAMES = 125  # moshi-sts.cpp --bench
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-i", "--input", default=None)
+    ap.add_argument("-o", "--output", default="sts.wav")
+    ap.add_argument("-c", "--config", default=None)
+    ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--frames", type=int, default=BENCH_FRAMES)
+    add_common_args(ap)
+    args = ap.parse_args(argv)
+    if args.list_devices:
+        list_devices()
+        return 0
+
+    if args.config:
+        with open(args.config) as fh:
+            config = parse_config(json.load(fh))
+    else:
+        # 7B moshi layout scaled down unless a real config is given
+        config = parse_config({"model_type": "moshi", "dim": 512,
+                               "num_layers": 2, "num_heads": 8,
+                               "context": 128, "n_q": 16, "dep_q": 8,
+                               "card": 2048, "text_card": 4000,
+                               "delays": [0, 0] + [1] * 7 + [0] + [1] * 7,
+                               "depformer_dim": 256,
+                               "depformer_num_layers": 2,
+                               "hidden_scale": 4.0})
+    import jax
+    import jax.numpy as jnp
+    lm_cfg, lm_params = load_lm(args, config)
+    mimi, mimi_params = load_mimi(args, n_q=lm_cfg.n_q)
+    tok = load_tokenizer(args, config)
+
+    from moshi_tpu.runtime.pipeline import STSPipeline
+    pipe = STSPipeline(mimi, lm_cfg,
+                       temp=config.lm_gen_config.temp,
+                       temp_text=config.lm_gen_config.temp_text,
+                       top_k=config.lm_gen_config.top_k,
+                       top_k_text=config.lm_gen_config.top_k_text,
+                       mimi_dtype=jnp.float32 if args.synthetic
+                       else jnp.bfloat16)
+    state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
+
+    if args.bench or not args.input:
+        audio = np.zeros(args.frames * FRAME_SIZE, np.float32)
+    else:
+        audio = read_audio_24k(args.input)
+        n = (len(audio) + FRAME_SIZE - 1) // FRAME_SIZE
+        audio = np.pad(audio, (0, n * FRAME_SIZE - len(audio)))
+    n = len(audio) // FRAME_SIZE
+
+    out_parts = []
+    transcript = []
+    pad_id = config.existing_text_padding_id
+    # warmup/compile on the first frame, then time the rest
+    t0 = None
+    frames_timed = 0
+    for f in range(n):
+        frame = audio[f * FRAME_SIZE:(f + 1) * FRAME_SIZE][None]
+        out, state = pipe.step(mimi_params, lm_params, state, frame)
+        np.asarray(out["audio_out"])
+        if f == 0:
+            t0 = time.perf_counter()
+        else:
+            frames_timed += 1
+        out_parts.append(np.asarray(out["audio_out"])[0])
+        token = int(np.asarray(out["text"])[0])
+        if token not in (pad_id, 0, -2) and token >= 0 and tok:
+            transcript.append(tok.id_to_piece(token))
+    dt = time.perf_counter() - t0 if t0 else 1.0
+    fps = frames_timed / dt if frames_timed else 0.0
+
+    if not args.bench:
+        from moshi_tpu.io.wav import save_wav
+        wav = np.concatenate(out_parts)
+        save_wav(args.output, wav, SAMPLE_RATE)
+        print(f"wrote {args.output}: {len(wav) / SAMPLE_RATE:.2f}s")
+    if transcript:
+        print("".join(transcript).replace("▁", " ").strip())
+    print(f"bench: {fps:.2f} frames/s ({fps / 12.5:.2f}x realtime), "
+          f"{n} frames")
+    if args.bench:
+        print(json.dumps({"metric": "sts_frames_per_sec",
+                          "value": round(fps, 2), "unit": "frames/s"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
