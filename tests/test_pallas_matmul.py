@@ -1,0 +1,43 @@
+"""Pallas fused dequant+matmul kernels vs the XLA dequant oracle
+(interpret mode on CPU; the same kernels run compiled on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moshi_tpu.quant.formats import dequantize, quantize
+from moshi_tpu.quant.pallas_matmul import qmatmul_pallas
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("m", [1, 4])
+def test_pallas_matches_xla_dequant(rng, fmt, m):
+    k, o = 512, 512
+    w = rng.normal(size=(o, k)).astype(np.float32)
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    qt = quantize(w, fmt)
+    y = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+    ref = xb @ wd.T
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.02, f"{fmt} m={m}: rel {rel}"
+
+
+def test_pallas_3d_input(rng):
+    w = rng.normal(size=(256, 256)).astype(np.float32)
+    x = rng.normal(size=(2, 3, 256)).astype(np.float32)
+    qt = quantize(w, "q4_k")
+    y = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    assert y.shape == (2, 3, 256)
+
+
+def test_pallas_nonsquare(rng):
+    # gating-style shapes: O != K, O a multiple of the tile
+    w = rng.normal(size=(1024, 512)).astype(np.float32)
+    x = rng.normal(size=(1, 512)).astype(np.float32)
+    qt = quantize(w, "q8_0")
+    y = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    ref = x @ wd.T
+    np.testing.assert_allclose(y, ref, rtol=0.05, atol=0.5)
