@@ -135,7 +135,11 @@ def save_safetensors(path: str, tensors: Dict[str, np.ndarray], metadata=None):
             arr = np.ascontiguousarray(arr)
         else:
             arr = np.ascontiguousarray(value)
-            dt = _INV_DTYPES[arr.dtype]
+            if arr.dtype.name == "bfloat16":  # ml_dtypes / jax bf16
+                arr = arr.view(np.uint16)
+                dt = "BF16"
+            else:
+                dt = _INV_DTYPES[arr.dtype]
         nbytes = arr.nbytes
         header[name] = {
             "dtype": dt,

@@ -98,7 +98,8 @@ def lm_param_pspecs(params) -> dict:
                 return base
             return QuantTensor(node.fmt, node.shape, qspec(node.q),
                                qspec(node.d), qspec(node.sc),
-                               qspec(node.mn), qspec(node.dmin))
+                               qspec(node.mn), qspec(node.dmin),
+                               qspec(node.es), qspec(node.em))
         # norm scales, biases, small vectors: replicate
         nd = getattr(node, "ndim", 0)
         if any(s in path for s in ("alpha", "norm", "bias", "scale")):

@@ -54,16 +54,37 @@ class QuantTensor:
     sc: jnp.ndarray | None = None
     mn: jnp.ndarray | None = None
     dmin: jnp.ndarray | None = None
+    # denormalized per-32-block effective scale/min (f16 [O, I/32]),
+    # derived once at quantize time for the fused Pallas kernels (q4_k):
+    # es = d * sc snapped to the 6-bit grid, em = dmin * mn
+    es: jnp.ndarray | None = None
+    em: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        children = (self.q, self.d, self.sc, self.mn, self.dmin)
+        children = (self.q, self.d, self.sc, self.mn, self.dmin,
+                    self.es, self.em)
         return children, (self.fmt, self.shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         fmt, shape = aux
-        q, d, sc, mn, dmin = children
-        return cls(fmt=fmt, shape=shape, q=q, d=d, sc=sc, mn=mn, dmin=dmin)
+        q, d, sc, mn, dmin, es, em = children
+        return cls(fmt=fmt, shape=shape, q=q, d=d, sc=sc, mn=mn, dmin=dmin,
+                   es=es, em=em)
+
+    def with_eff_scales(self) -> "QuantTensor":
+        """Return a copy with es/em populated (q4_k only; no-op otherwise)."""
+        if self.fmt != "q4_k" or self.es is not None:
+            return self
+        lead = self.q.shape[:-2] + (self.q.shape[-2],)
+        i = self.q.shape[-1] * 2
+        es = (self.d.astype(jnp.float32)[..., None]
+              * self.sc.astype(jnp.float32)).reshape(lead + (i // QK,))
+        em = (self.dmin.astype(jnp.float32)[..., None]
+              * self.mn.astype(jnp.float32)).reshape(lead + (i // QK,))
+        return QuantTensor(self.fmt, self.shape, self.q, self.d, self.sc,
+                           self.mn, self.dmin, es.astype(jnp.bfloat16),
+                           em.astype(jnp.bfloat16))
 
     @property
     def dtype(self):  # convenience for param-tree introspection
@@ -82,16 +103,24 @@ class QuantTensor:
 # quantize (host side, numpy — used once at weight-load time)
 # ---------------------------------------------------------------------------
 
+
+def _bf16_round_np(x: np.ndarray) -> np.ndarray:
+    """Round f32 -> bf16 (RNE) and return the snapped f32 values."""
+    u = np.asarray(x, np.float32).view(np.uint32)
+    rounding = 0x7FFF + ((u >> 16) & 1)
+    return (((u + rounding) & 0xFFFF0000).astype(np.uint32)).view(np.float32)
+
+
 def _quantize_q8_0(w: np.ndarray) -> QuantTensor:
     o, i = w.shape
     assert i % QK == 0, f"q8_0 needs I % {QK} == 0, got {i}"
     blocks = w.reshape(o, i // QK, QK).astype(np.float32)
     amax = np.max(np.abs(blocks), axis=-1)
-    d = (amax / 127.0).astype(np.float16)
-    ds = d.astype(np.float32)
+    ds = _bf16_round_np(amax / 127.0)
     inv = np.where(ds > 0, 1.0 / np.maximum(ds, 1e-30), 0.0)
     q = np.clip(np.round(blocks * inv[..., None]), -127, 127).astype(np.int8)
-    return QuantTensor("q8_0", (o, i), jnp.asarray(q.reshape(o, i)), jnp.asarray(d))
+    return QuantTensor("q8_0", (o, i), jnp.asarray(q.reshape(o, i)),
+                       jnp.asarray(ds).astype(jnp.bfloat16))
 
 
 def _quantize_q4_0(w: np.ndarray) -> QuantTensor:
@@ -102,13 +131,13 @@ def _quantize_q4_0(w: np.ndarray) -> QuantTensor:
     # maps exactly onto an endpoint of [-8, 7]
     idx = np.argmax(np.abs(blocks), axis=-1)
     ext = np.take_along_axis(blocks, idx[..., None], axis=-1)[..., 0]
-    d = (ext / -8.0).astype(np.float16)
-    ds = d.astype(np.float32)
+    ds = _bf16_round_np(ext / -8.0)
     inv = np.where(np.abs(ds) > 0, 1.0 / np.where(ds == 0, 1.0, ds), 0.0)
     q = np.clip(np.round(blocks * inv[..., None]) + 8, 0, 15).astype(np.uint8)
     q = q.reshape(o, i)
     packed = (q[:, : i // 2] | (q[:, i // 2 :] << 4)).astype(np.uint8)
-    return QuantTensor("q4_0", (o, i), jnp.asarray(packed), jnp.asarray(d))
+    return QuantTensor("q4_0", (o, i), jnp.asarray(packed),
+                       jnp.asarray(ds).astype(jnp.bfloat16))
 
 
 def _fit_asym_subblocks(blocks: np.ndarray):
@@ -126,10 +155,10 @@ def _quantize_q4_k(w: np.ndarray) -> QuantTensor:
     nsb = i // QK_K
     blocks = w.reshape(o, nsb, 8, QK).astype(np.float32)
     s, m = _fit_asym_subblocks(blocks)                     # [O, nsb, 8]
-    d = (s.max(axis=-1) / 63.0).astype(np.float16)         # [O, nsb]
-    dmin = (m.max(axis=-1) / 63.0).astype(np.float16)
-    ds = d.astype(np.float32)[..., None]
-    dmins = dmin.astype(np.float32)[..., None]
+    dsnap = _bf16_round_np(s.max(axis=-1) / 63.0)          # [O, nsb]
+    dminsnap = _bf16_round_np(m.max(axis=-1) / 63.0)
+    ds = dsnap[..., None]
+    dmins = dminsnap[..., None]
     sc = np.clip(np.round(np.divide(s, ds, out=np.zeros_like(s), where=ds > 0)),
                  0, 63).astype(np.uint8)
     mn = np.clip(np.round(np.divide(m, dmins, out=np.zeros_like(m), where=dmins > 0)),
@@ -141,13 +170,37 @@ def _quantize_q4_k(w: np.ndarray) -> QuantTensor:
                 0, 15).astype(np.uint8)
     q = q.reshape(o, i)
     packed = (q[:, : i // 2] | (q[:, i // 2 :] << 4)).astype(np.uint8)
-    return QuantTensor("q4_k", (o, i), jnp.asarray(packed), jnp.asarray(d),
-                       sc=jnp.asarray(sc), mn=jnp.asarray(mn), dmin=jnp.asarray(dmin))
+    return QuantTensor("q4_k", (o, i), jnp.asarray(packed),
+                       jnp.asarray(dsnap).astype(jnp.bfloat16),
+                       sc=jnp.asarray(sc), mn=jnp.asarray(mn),
+                       dmin=jnp.asarray(dminsnap).astype(jnp.bfloat16),
+                       es=jnp.asarray(eff_s.reshape(o, i // QK))
+                          .astype(jnp.bfloat16),
+                       em=jnp.asarray(eff_m.reshape(o, i // QK))
+                          .astype(jnp.bfloat16))
 
 
-def quantize(w: np.ndarray, fmt: str) -> QuantTensor:
+def quantize(w: np.ndarray, fmt: str, native: bool = True) -> QuantTensor:
     w = np.asarray(w)
     assert w.ndim == 2, f"only 2-D weights quantize, got {w.shape}"
+    if fmt not in QUANT_FORMATS:
+        raise ValueError(f"unknown quant format {fmt!r}")
+    if native:
+        # multithreaded C++ fast path (native/quant.cpp); numpy fallback
+        from moshi_tpu.native_quant import quantize_native
+        packed = quantize_native(w, fmt)
+        if packed is not None:
+            def _sc(a):
+                return (None if a is None else
+                        jnp.asarray(np.asarray(a, np.float32))
+                        .astype(jnp.bfloat16))
+            qt = QuantTensor(
+                fmt, (w.shape[0], w.shape[1]),
+                jnp.asarray(packed["q"]), _sc(packed["d"]),
+                sc=jnp.asarray(packed["sc"]) if "sc" in packed else None,
+                mn=jnp.asarray(packed["mn"]) if "mn" in packed else None,
+                dmin=_sc(packed.get("dmin")))
+            return qt.with_eff_scales()
     if fmt == "q8_0":
         return _quantize_q8_0(w)
     if fmt == "q4_0":

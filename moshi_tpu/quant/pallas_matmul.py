@@ -8,12 +8,23 @@ contract on the MXU without ever materializing the dequantized matrix in
 HBM — the TPU analog of GGML's fused dequant-in-mul_mat CUDA kernels the
 reference relies on.
 
+Mosaic-shaped design decisions (all hit compiler limits otherwise):
+  * packed bytes live in VMEM as a whole [TO, K/2] tile but are unpacked
+    + dequantized in static K-chunks so f32 intermediates stay ~1 MB
+    (full-tile conversion stack-allocates the f32 copy and OOMs VMEM);
+  * per-32-block scale expansion is an MXU contraction against an
+    iota-built 0/1 block matrix (Mosaic supports neither sublane reshape
+    nor element-repeat);
+  * scales are bf16 (f16 is not a Mosaic type), snapped at quantize time;
+  * nibble unpack goes through int32 (`arith.shrui` on uint8 does not
+    legalize).
+
 Layout recap (quant/formats.py): 4-bit weights are packed planar — packed
 byte j of a row holds original column j (low nibble) and column j + K/2
-(high nibble).  The two unpacked halves are therefore contiguous in the
-original column order, so the kernel contracts each half against the
-matching half of x: y = deq_lo @ x[:K/2] + deq_hi @ x[K/2:], with the
-per-32-block scales split likewise — no lane interleaving anywhere.
+(high nibble), so the two unpacked halves contract against the matching
+halves of x with no lane interleaving: y = deq_lo @ x[:K/2] + deq_hi @
+x[K/2:].  q4_k's mins fold into a single [M, K/32] x [TO, K/32]
+block-sum correction.
 """
 
 from __future__ import annotations
@@ -27,92 +38,84 @@ from jax.experimental.pallas import tpu as pltpu
 
 from moshi_tpu.quant.formats import QK, QK_K, QuantTensor
 
-# rows of output computed per grid program
-_TILE_O = 256
+_TILE_O = 256        # output rows per grid program
+_CHUNK = 2048        # packed columns dequantized per inner step
 
 
 def _expand_block_scales(s, block: int):
-    """[TO, nblocks] -> [TO, nblocks*block] by repeating each column
-    `block` times (element repeat, NOT pltpu.repeat's array tiling)."""
+    """[TO, nb] -> [TO, nb*block] repeating each column `block` times via
+    an MXU contraction with E[b, j] = (j // block == b)."""
     to, nb = s.shape
-    return jnp.broadcast_to(s[:, :, None], (to, nb, block)).reshape(
-        to, nb * block)
+    k2 = nb * block
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
+    e = (cols // block == rows).astype(jnp.float32)
+    return jax.lax.dot_general(s.astype(jnp.float32), e,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-# ---------------------------------------------------------------------------
-# q8_0: int8 weights, fp16 scale per 32 columns
-# ---------------------------------------------------------------------------
+def _dot_t(x, w):
+    """[M, C] x [TO, C] -> [M, TO] (f32 accum)."""
+    return jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
 
 def _q8_kernel(x_ref, q_ref, d_ref, o_ref):
-    q = q_ref[:].astype(jnp.float32)                       # [TO, K]
-    d = _expand_block_scales(d_ref[:].astype(jnp.float32), QK)
-    w = (q * d).astype(jnp.bfloat16)                       # [TO, K]
-    x = x_ref[:].astype(jnp.bfloat16)                      # [M, K]
-    o_ref[:] = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-# ---------------------------------------------------------------------------
-# q4_0: planar nibbles, symmetric, fp16 scale per 32 columns
-# ---------------------------------------------------------------------------
-
-def _q4_0_kernel(x_ref, q_ref, d_ref, o_ref):
-    packed = q_ref[:]                                      # [TO, K/2]
-    k2 = packed.shape[1]
-    lo = (packed & jnp.uint8(15)).astype(jnp.float32) - 8.0
-    hi = (packed >> jnp.uint8(4)).astype(jnp.float32) - 8.0
-    d = d_ref[:].astype(jnp.float32)                       # [TO, K/32]
-    nb_half = d.shape[1] // 2
-    d_lo = _expand_block_scales(d[:, :nb_half], QK)        # [TO, K/2]
-    d_hi = _expand_block_scales(d[:, nb_half:], QK)
-    w_lo = (lo * d_lo).astype(jnp.bfloat16)
-    w_hi = (hi * d_hi).astype(jnp.bfloat16)
-    x = x_ref[:].astype(jnp.bfloat16)                      # [M, K]
-    x_lo = x[:, :k2]
-    x_hi = x[:, k2:]
-    acc = jax.lax.dot_general(x_lo, w_lo, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(x_hi, w_hi, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    m, k = x_ref.shape
+    chunk = min(_CHUNK, k)
+    acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
+    for c0 in range(0, k, chunk):
+        q = q_ref[:, c0:c0 + chunk].astype(jnp.int32).astype(jnp.float32)
+        d = _expand_block_scales(
+            d_ref[:, c0 // QK:(c0 + chunk) // QK].astype(jnp.float32), QK)
+        w = (q * d).astype(jnp.bfloat16)
+        acc += _dot_t(x_ref[:, c0:c0 + chunk].astype(jnp.bfloat16), w)
     o_ref[:] = acc
 
 
-# ---------------------------------------------------------------------------
-# q4_k: planar nibbles, per-32 6-bit scale/min + per-256 fp16 super-scales
-# ---------------------------------------------------------------------------
+def _q4_0_kernel(x_ref, q_ref, d_ref, o_ref):
+    m, k = x_ref.shape
+    k2 = k // 2
+    chunk = min(_CHUNK, k2)
+    acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
+    for c0 in range(0, k2, chunk):
+        pi = q_ref[:, c0:c0 + chunk].astype(jnp.int32)
+        lo = (pi & 15).astype(jnp.float32) - 8.0
+        hi = ((pi >> 4) & 15).astype(jnp.float32) - 8.0
+        d_lo = _expand_block_scales(
+            d_ref[:, c0 // QK:(c0 + chunk) // QK].astype(jnp.float32), QK)
+        d_hi = _expand_block_scales(
+            d_ref[:, (k2 + c0) // QK:(k2 + c0 + chunk) // QK]
+            .astype(jnp.float32), QK)
+        x_lo = x_ref[:, c0:c0 + chunk].astype(jnp.bfloat16)
+        x_hi = x_ref[:, k2 + c0:k2 + c0 + chunk].astype(jnp.bfloat16)
+        acc += _dot_t(x_lo, (lo * d_lo).astype(jnp.bfloat16))
+        acc += _dot_t(x_hi, (hi * d_hi).astype(jnp.bfloat16))
+    o_ref[:] = acc
 
-def _q4_k_kernel(x_ref, xsum_ref, q_ref, sc_ref, mn_ref, d_ref, dmin_ref,
-                 o_ref):
-    packed = q_ref[:]                                      # [TO, K/2]
-    k2 = packed.shape[1]
-    lo = (packed & jnp.uint8(15)).astype(jnp.float32)
-    hi = (packed >> jnp.uint8(4)).astype(jnp.float32)
-    to = packed.shape[0]
-    # effective per-32-block scales/mins: [TO, nsb*8] == [TO, K/32]
-    d = d_ref[:].astype(jnp.float32)                       # [TO, nsb]
-    dmin = dmin_ref[:].astype(jnp.float32)
-    sc = sc_ref[:].astype(jnp.float32).reshape(to, -1)     # [TO, nsb*8]
-    mn = mn_ref[:].astype(jnp.float32).reshape(to, -1)
-    eff_s = _expand_block_scales(d, 8) * sc                # [TO, K/32]
-    eff_m = _expand_block_scales(dmin, 8) * mn
-    nb_half = eff_s.shape[1] // 2
-    s_lo = _expand_block_scales(eff_s[:, :nb_half], QK)    # [TO, K/2]
-    s_hi = _expand_block_scales(eff_s[:, nb_half:], QK)
-    w_lo = (lo * s_lo).astype(jnp.bfloat16)
-    w_hi = (hi * s_hi).astype(jnp.bfloat16)
-    x = x_ref[:].astype(jnp.bfloat16)
-    x_lo = x[:, :k2]
-    x_hi = x[:, k2:]
-    acc = jax.lax.dot_general(x_lo, w_lo, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(x_hi, w_hi, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    # the mins contribute -sum_b eff_m[:, b] * (sum of x in block b):
-    # a [M, K/32] x [TO, K/32] contraction on the precomputed block sums
-    xs = xsum_ref[:].astype(jnp.float32)                   # [M, K/32]
-    acc -= jax.lax.dot_general(xs, eff_m, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+
+def _q4_k_kernel(x_ref, xsum_ref, q_ref, es_ref, em_ref, o_ref):
+    m, k = x_ref.shape
+    k2 = k // 2
+    chunk = min(_CHUNK, k2)
+    acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
+    for c0 in range(0, k2, chunk):
+        pi = q_ref[:, c0:c0 + chunk].astype(jnp.int32)
+        lo = (pi & 15).astype(jnp.float32)
+        hi = ((pi >> 4) & 15).astype(jnp.float32)
+        s_lo = _expand_block_scales(
+            es_ref[:, c0 // QK:(c0 + chunk) // QK].astype(jnp.float32), QK)
+        s_hi = _expand_block_scales(
+            es_ref[:, (k2 + c0) // QK:(k2 + c0 + chunk) // QK]
+            .astype(jnp.float32), QK)
+        x_lo = x_ref[:, c0:c0 + chunk].astype(jnp.bfloat16)
+        x_hi = x_ref[:, k2 + c0:k2 + c0 + chunk].astype(jnp.bfloat16)
+        acc += _dot_t(x_lo, (lo * s_lo).astype(jnp.bfloat16))
+        acc += _dot_t(x_hi, (hi * s_hi).astype(jnp.bfloat16))
+    # mins: -sum_b em[:, b] * blocksum(x)[b]
+    acc -= _dot_t(xsum_ref[:].astype(jnp.float32),
+                  em_ref[:].astype(jnp.float32))
     o_ref[:] = acc
 
 
@@ -120,10 +123,6 @@ def _block_sums(x: jnp.ndarray, block: int) -> jnp.ndarray:
     m, k = x.shape
     return jnp.sum(x.reshape(m, k // block, block), axis=-1)
 
-
-# ---------------------------------------------------------------------------
-# dispatch
-# ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False):
@@ -142,6 +141,7 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False):
     cost = pl.CostEstimate(flops=2 * m * k * o,
                            bytes_accessed=qt.nbytes + m * k * 4 + m * o * 4,
                            transcendentals=0)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     if qt.fmt == "q8_0":
         y = pl.pallas_call(
@@ -157,6 +157,7 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False):
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
             cost_estimate=cost,
+            compiler_params=params,
             interpret=interpret,
         )(x2, qt.q, qt.d)
     elif qt.fmt == "q4_0":
@@ -173,10 +174,11 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False):
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
             cost_estimate=cost,
+            compiler_params=params,
             interpret=interpret,
         )(x2, qt.q, qt.d)
     elif qt.fmt == "q4_k":
-        nsb = k // QK_K
+        qt = qt.with_eff_scales()
         xsum = _block_sums(x2.astype(jnp.float32), QK)     # [M, K/32]
         y = pl.pallas_call(
             _q4_k_kernel,
@@ -187,20 +189,17 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, k // 2), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, nsb, 8), lambda i: (i, 0, 0),
+                pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, nsb, 8), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, nsb), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, nsb), lambda i: (i, 0),
+                pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
             cost_estimate=cost,
+            compiler_params=params,
             interpret=interpret,
-        )(x2, xsum, qt.q, qt.sc, qt.mn, qt.d, qt.dmin)
+        )(x2, xsum, qt.q, qt.es, qt.em)
     else:
         raise ValueError(qt.fmt)
     return y.reshape(orig_shape[:-1] + (o,))

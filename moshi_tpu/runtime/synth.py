@@ -29,21 +29,21 @@ def synth_quant_tensor(key, fmt: str, out_dim: int, in_dim: int,
     rng = np.random.default_rng(seed)
     if fmt == "q8_0":
         q = jnp.asarray(rng.integers(-127, 128, (out_dim, in_dim), np.int8))
-        d = jnp.full((out_dim, in_dim // QK), scale / 127, jnp.float16)
+        d = jnp.full((out_dim, in_dim // QK), scale / 127, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d)
     if fmt == "q4_0":
         q = jnp.asarray(rng.integers(0, 256, (out_dim, in_dim // 2), np.uint8))
-        d = jnp.full((out_dim, in_dim // QK), scale / 8, jnp.float16)
+        d = jnp.full((out_dim, in_dim // QK), scale / 8, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d)
     if fmt == "q4_k":
         nsb = in_dim // QK_K
         q = jnp.asarray(rng.integers(0, 256, (out_dim, in_dim // 2), np.uint8))
         sc = jnp.asarray(rng.integers(0, 64, (out_dim, nsb, 8), np.uint8))
         mn = jnp.asarray(rng.integers(0, 64, (out_dim, nsb, 8), np.uint8))
-        d = jnp.full((out_dim, nsb), scale / (63 * 15), jnp.float16)
-        dmin = jnp.full((out_dim, nsb), scale / 63, jnp.float16)
+        d = jnp.full((out_dim, nsb), scale / (63 * 15), jnp.bfloat16)
+        dmin = jnp.full((out_dim, nsb), scale / 63, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d, sc=sc, mn=mn,
-                           dmin=dmin)
+                           dmin=dmin).with_eff_scales()
     raise ValueError(fmt)
 
 
@@ -57,21 +57,21 @@ def _synth_quant_tensor_device(key, fmt, out_dim, in_dim, scale):
     if fmt == "q8_0":
         q = bits(ks[0], (out_dim, in_dim)).astype(jnp.int8)
         q = jnp.maximum(q, -127)
-        d = jnp.full((out_dim, in_dim // QK), scale / 127, jnp.float16)
+        d = jnp.full((out_dim, in_dim // QK), scale / 127, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d)
     if fmt == "q4_0":
         q = bits(ks[0], (out_dim, in_dim // 2))
-        d = jnp.full((out_dim, in_dim // QK), scale / 8, jnp.float16)
+        d = jnp.full((out_dim, in_dim // QK), scale / 8, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d)
     if fmt == "q4_k":
         nsb = in_dim // QK_K
         q = bits(ks[0], (out_dim, in_dim // 2))
         sc = bits(ks[1], (out_dim, nsb, 8)) & jnp.uint8(63)
         mn = bits(ks[2], (out_dim, nsb, 8)) & jnp.uint8(63)
-        d = jnp.full((out_dim, nsb), scale / (63 * 15), jnp.float16)
-        dmin = jnp.full((out_dim, nsb), scale / 63, jnp.float16)
+        d = jnp.full((out_dim, nsb), scale / (63 * 15), jnp.bfloat16)
+        dmin = jnp.full((out_dim, nsb), scale / 63, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d, sc=sc, mn=mn,
-                           dmin=dmin)
+                           dmin=dmin).with_eff_scales()
     raise ValueError(fmt)
 
 
