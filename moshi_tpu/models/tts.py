@@ -1,0 +1,109 @@
+"""TTS voice conditioning + voice prefixes + all-in-one TTS model.
+
+Behavioral parity with /root/reference/src/moshi/models/tts.h and
+src/moshi.cpp:296-366:
+
+  * conditioners (tts.h:5-35): cfg / control embedding conditioners and
+    the speaker_wavs cross-attention conditioner, loaded from
+    "lm.condition_provider.conditioners.*";
+  * voice_condition (moshi.cpp:296-366): condition_sum = output_proj(cfg
+    embed row 2 of {1.0..4.0}) + output_proj(control embed row 0 "ok");
+    condition_cross = 5x learnt-padding slots with the projected speaker
+    wavs in slot 0, plus a sinusoidal position embedding (half-cos /
+    half-sin, the GGML timestep-embedding layout);
+  * voice prefix for non-cross TTS models (tts.h:218-305): mimi-encode a
+    speaker wav, feed as text(-1)/audio forced prefixes after
+    max_delay+delay_steps empty frames, with the semantic codebook moved
+    two frames earlier (the "[n-3][0]" delay rewrite);
+  * moshi_ttsmodel_generate_wav-style blocking loop (tts.h:310-419).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moshi_tpu import FRAME_SIZE
+from moshi_tpu.models.lm import LMConfig, UNGENERATED, ZERO
+from moshi_tpu.nn.layers import linear
+
+
+def sin_embedding(positions: jnp.ndarray, dim: int,
+                  max_period: float = 10_000.0) -> jnp.ndarray:
+    """[T] -> [T, dim]; first half cos, second half sin (GGML
+    ggml_timestep_embedding layout used by the reference)."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = positions.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def load_conditioners(src) -> dict:
+    """src: runtime.loader._Source over the LM safetensors."""
+    base = "lm.condition_provider.conditioners"
+    def g(name):
+        return jnp.asarray(np.asarray(src.get(f"{base}.{name}"), np.float32))
+    return {
+        "cfg": {"embed": g("cfg.embed.weight"),
+                "learnt_padding": g("cfg.learnt_padding"),
+                "output_proj": {"weight": g("cfg.output_proj.weight")}},
+        "control": {"embed": g("control.embed.weight"),
+                    "learnt_padding": g("control.learnt_padding"),
+                    "output_proj": {"weight": g("control.output_proj.weight")}},
+        "speaker_wavs": {"learnt_padding": g("speaker_wavs.learnt_padding"),
+                         "output_proj": {"weight":
+                                         g("speaker_wavs.output_proj.weight")}},
+    }
+
+
+def voice_condition(cond: dict, speaker_wavs: jnp.ndarray,
+                    cfg_index: int = 2,
+                    pos_emb_scale: float = 1.0,
+                    max_period: float = 10_000.0):
+    """speaker_wavs: [S, Dw] voice embedding (from voice.speaker_wavs).
+    Returns (condition_sum [1, dim], condition_cross [1, 5*S, dim])."""
+    # cfg {'1.0':0 ... '4.0':6} -> row `cfg_index` (2 == cfg 2.0)
+    cfg_emb = cond["cfg"]["embed"][cfg_index][None, :]
+    cfg_c = linear(cond["cfg"]["output_proj"], cfg_emb)
+    ctl_emb = cond["control"]["embed"][0][None, :]       # 'ok'
+    ctl_c = linear(cond["control"]["output_proj"], ctl_emb)
+    condition_sum = (cfg_c + ctl_c).reshape(1, -1)
+
+    proj = linear(cond["speaker_wavs"]["output_proj"], speaker_wavs)
+    s, dim = proj.shape
+    pad = cond["speaker_wavs"]["learnt_padding"].reshape(1, -1)[:, :dim]
+    cross = jnp.broadcast_to(pad, (5 * s, dim))
+    cross = cross.at[:s].set(proj)
+    pos = sin_embedding(jnp.arange(5 * s), dim, max_period)
+    cross = cross + pos_emb_scale * pos
+    return condition_sum, cross[None]
+
+
+def make_voice_prefix(encode_fn, audio: np.ndarray, lm_cfg: LMConfig,
+                      delay_steps: int) -> Tuple[List[int], List[List[int]]]:
+    """Non-cross TTS voice prefix (tts.h:218-305).
+
+    encode_fn: audio [1, n*1920] -> codes [1, n, n_q] (a MimiStreamer
+    encode or jitted step).  Returns (text_prefixes, audio_prefixes).
+    """
+    n = (len(audio) // FRAME_SIZE) * FRAME_SIZE
+    audio = np.asarray(audio[:n], np.float32)
+    nframes = n // FRAME_SIZE
+    codes = np.asarray(encode_fn(audio[None]))            # [1, T, n_q]
+    codes = codes.reshape(nframes, -1)[:, : lm_cfg.n_q]
+    text_prefixes = [ZERO] * nframes
+    audio_prefixes: List[List[int]] = [
+        [UNGENERATED] * lm_cfg.n_q
+        for _ in range(lm_cfg.max_delay + delay_steps)
+    ]
+    for i in range(nframes):
+        frame = [int(c) for c in codes[i]]
+        audio_prefixes.append(frame)
+        # semantic-delay rewrite: move codebook 0 two frames earlier
+        audio_prefixes[-3][0] = frame[0]
+        frame[0] = UNGENERATED
+    return text_prefixes, audio_prefixes

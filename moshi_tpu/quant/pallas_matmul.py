@@ -66,11 +66,12 @@ def _q8_kernel(x_ref, q_ref, d_ref, o_ref):
     chunk = min(_CHUNK, k)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k, chunk):
-        q = q_ref[:, c0:c0 + chunk].astype(jnp.int32).astype(jnp.float32)
+        cs = min(chunk, k - c0)
+        q = q_ref[:, c0:c0 + cs].astype(jnp.int32).astype(jnp.float32)
         d = _expand_block_scales(
-            d_ref[:, c0 // QK:(c0 + chunk) // QK].astype(jnp.float32), QK)
+            d_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
         w = (q * d).astype(jnp.bfloat16)
-        acc += _dot_t(x_ref[:, c0:c0 + chunk].astype(jnp.bfloat16), w)
+        acc += _dot_t(x_ref[:, c0:c0 + cs].astype(jnp.bfloat16), w)
     o_ref[:] = acc
 
 
@@ -80,16 +81,17 @@ def _q4_0_kernel(x_ref, q_ref, d_ref, o_ref):
     chunk = min(_CHUNK, k2)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k2, chunk):
-        pi = q_ref[:, c0:c0 + chunk].astype(jnp.int32)
+        cs = min(chunk, k2 - c0)
+        pi = q_ref[:, c0:c0 + cs].astype(jnp.int32)
         lo = (pi & 15).astype(jnp.float32) - 8.0
         hi = ((pi >> 4) & 15).astype(jnp.float32) - 8.0
         d_lo = _expand_block_scales(
-            d_ref[:, c0 // QK:(c0 + chunk) // QK].astype(jnp.float32), QK)
+            d_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
         d_hi = _expand_block_scales(
-            d_ref[:, (k2 + c0) // QK:(k2 + c0 + chunk) // QK]
+            d_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
             .astype(jnp.float32), QK)
-        x_lo = x_ref[:, c0:c0 + chunk].astype(jnp.bfloat16)
-        x_hi = x_ref[:, k2 + c0:k2 + c0 + chunk].astype(jnp.bfloat16)
+        x_lo = x_ref[:, c0:c0 + cs].astype(jnp.bfloat16)
+        x_hi = x_ref[:, k2 + c0:k2 + c0 + cs].astype(jnp.bfloat16)
         acc += _dot_t(x_lo, (lo * d_lo).astype(jnp.bfloat16))
         acc += _dot_t(x_hi, (hi * d_hi).astype(jnp.bfloat16))
     o_ref[:] = acc
@@ -101,16 +103,17 @@ def _q4_k_kernel(x_ref, xsum_ref, q_ref, es_ref, em_ref, o_ref):
     chunk = min(_CHUNK, k2)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k2, chunk):
-        pi = q_ref[:, c0:c0 + chunk].astype(jnp.int32)
+        cs = min(chunk, k2 - c0)
+        pi = q_ref[:, c0:c0 + cs].astype(jnp.int32)
         lo = (pi & 15).astype(jnp.float32)
         hi = ((pi >> 4) & 15).astype(jnp.float32)
         s_lo = _expand_block_scales(
-            es_ref[:, c0 // QK:(c0 + chunk) // QK].astype(jnp.float32), QK)
+            es_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
         s_hi = _expand_block_scales(
-            es_ref[:, (k2 + c0) // QK:(k2 + c0 + chunk) // QK]
+            es_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
             .astype(jnp.float32), QK)
-        x_lo = x_ref[:, c0:c0 + chunk].astype(jnp.bfloat16)
-        x_hi = x_ref[:, k2 + c0:k2 + c0 + chunk].astype(jnp.bfloat16)
+        x_lo = x_ref[:, c0:c0 + cs].astype(jnp.bfloat16)
+        x_hi = x_ref[:, k2 + c0:k2 + c0 + cs].astype(jnp.bfloat16)
         acc += _dot_t(x_lo, (lo * s_lo).astype(jnp.bfloat16))
         acc += _dot_t(x_hi, (hi * s_hi).astype(jnp.bfloat16))
     # mins: -sum_b em[:, b] * blocksum(x)[b]
