@@ -1,0 +1,55 @@
+import hashlib
+import json
+
+import numpy as np
+import pytest
+
+from moshi_tpu.io.mimi_file import write_mimi_file
+from moshi_tpu.io.wav import load_wav, save_wav
+
+
+def test_moshi_dl_verify(tmp_path):
+    from moshi_tpu.tools.moshi_dl import main, sha256_file
+    f = tmp_path / "weights.bin"
+    f.write_bytes(b"hello moshi")
+    manifest = {
+        "files": [{"host": "https://example.invalid", "path": "x/y",
+                   "filename": "weights.bin",
+                   "sha256": hashlib.sha256(b"hello moshi").hexdigest()}]
+    }
+    mpath = tmp_path / "m.json"
+    mpath.write_text(json.dumps(manifest))
+    assert main([str(mpath), "-o", str(tmp_path), "--verify-only"]) == 0
+    # corrupt -> failure
+    f.write_bytes(b"corrupted")
+    assert main([str(mpath), "-o", str(tmp_path), "--verify-only"]) == 1
+
+
+def test_mimi_play_cli(tmp_path, rng):
+    from moshi_tpu.tools.mimi_play import main
+    mimi_path = str(tmp_path / "t.mimi")
+    codes = rng.integers(0, 64, size=(4, 8)).astype(np.int16)
+    write_mimi_file(mimi_path, codes)
+    out = str(tmp_path / "o.wav")
+    assert main(["-i", mimi_path, "-o", out, "--synthetic"]) == 0
+    audio, rate = load_wav(out)
+    assert len(audio) == 4 * 1920
+
+
+def test_mimi_echo_cli(tmp_path, rng):
+    from moshi_tpu.tools.mimi_play import main
+    wav_in = str(tmp_path / "in.wav")
+    save_wav(wav_in, rng.normal(size=1920 * 3).astype(np.float32) * 0.1, 24000)
+    out = str(tmp_path / "echo.wav")
+    assert main(["-i", wav_in, "-o", out, "--echo", "-n", "8",
+                 "--synthetic"]) == 0
+
+
+def test_personaplex_cli(tmp_path):
+    from moshi_tpu.tools.personaplex import main
+    out = str(tmp_path / "pp.wav")
+    rc = main(["--synthetic", "-o", out, "--frames", "4",
+               "-p", "be nice"])
+    assert rc == 0
+    audio, _ = load_wav(out)
+    assert len(audio) == 4 * 1920
