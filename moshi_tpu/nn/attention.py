@@ -103,6 +103,32 @@ def streaming_attn_bias(offset: jnp.ndarray, t: int, cap: int, context: int):
     return jnp.where(valid, 0.0, NEG_BIAS).astype(jnp.float32)
 
 
+def build_bias_pattern(cap: int, context: int, t: int = 1) -> jnp.ndarray:
+    """Precompute the offset-indexed additive-bias pattern — the
+    reference's claimed-novel optimization (README.md:57,
+    torch.h:162-223): one [n_offsets, T, cap] table built once per
+    transformer; each step takes a shifted view instead of recomputing
+    mask math.  After warmup (offset >= cap) the pattern repeats with
+    period cap, so rows cover offsets 0 .. 2*cap-1 and step offsets map
+    to row `offset if offset < cap else cap + offset % cap`.
+
+    On TPU the computed mask is a handful of fused VPU ops, so the LUT is
+    a capability-parity feature (and a win only when `context` math gets
+    more complex); both paths are exposed and tested equivalent."""
+    offsets = jnp.arange(2 * cap, dtype=jnp.int32)
+    def row(off):
+        return streaming_attn_bias(off[None], t, cap, context)[0]
+    return jax.vmap(row)(offsets)                          # [2cap, T, cap]
+
+
+def bias_pattern_lookup(pattern: jnp.ndarray, offset: jnp.ndarray,
+                        cap: int) -> jnp.ndarray:
+    """Per-step view into the pattern: [B] offsets -> [B, T, cap]
+    (torch.h:205-223 bias_pattern_index)."""
+    idx = jnp.where(offset < cap, offset, cap + offset % cap)
+    return pattern[idx]
+
+
 def streaming_mha(cfg: MHAConfig, params, state, x, offset):
     """x: [B, T, D], offset: [B] (position of x[:, 0]).
     Returns (y [B, T, D], new_state).  Caller advances offset by T."""

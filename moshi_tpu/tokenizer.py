@@ -228,3 +228,84 @@ def save_model_proto(pieces: List[Tuple[str, float, int]]) -> bytes:
                  bytes([0x18]) + varint(ptype))
         blob += bytes([0x0A]) + varint(len(inner)) + inner
     return blob
+
+
+class StreamingTextTokenizer:
+    """Incremental word-splitting tokenizer front-end for interactive TTS.
+
+    Capability parity with the reference's streaming tokenizer wrapper
+    (/root/reference/src/moshi.cpp:489-594: tokenizer_send/receive with
+    incremental word splitting, a <break time="Ns"/> parsing FSM that can
+    span chunk boundaries, and BOS insertion on the first word).
+
+    send(text) buffers; receive(frame_rate) yields (tokens, word, padding)
+    triples for every *complete* word (flush() drains the remainder).
+    """
+
+    _BREAK_PREFIX = '<break'
+
+    def __init__(self, tokenizer, insert_bos: bool = True, bos_id: int = 1,
+                 padding_between: int = 1):
+        self.tok = tokenizer
+        self.insert_bos = insert_bos
+        self.bos_id = bos_id
+        self.padding_between = padding_between
+        self.buffer = ""
+        self.first_word = True
+
+    def send(self, text: str):
+        self.buffer += text
+
+    def _emit(self, word: str, frame_rate: float):
+        import re as _re
+        m = _re.fullmatch(r'<break\s+time="([0-9]+(?:\.[0-9]*)?)s"\s*/?>',
+                          word)
+        if m:
+            return ([], word, int(float(m.group(1)) * frame_rate))
+        tokens = list(self.tok.encode(word))
+        if self.first_word and self.insert_bos:
+            tokens = [self.bos_id] + tokens
+            self.first_word = False
+        padding = 0
+        if self.padding_between > 0:
+            padding = max(self.padding_between + len(tokens) - 1, 0)
+        return (tokens, word, padding)
+
+    def _split_complete(self, final: bool):
+        """Yield complete word strings, keeping incomplete tails."""
+        out = []
+        buf = self.buffer
+        pos = 0
+        while pos < len(buf):
+            while pos < len(buf) and buf[pos].isspace():
+                pos += 1
+            if pos >= len(buf):
+                break
+            if buf.startswith(self._BREAK_PREFIX, pos) or \
+                    (not final and self._BREAK_PREFIX.startswith(
+                        buf[pos:pos + len(self._BREAK_PREFIX)])):
+                end = buf.find(">", pos)
+                if end < 0:
+                    if final:
+                        out.append(buf[pos:])
+                        pos = len(buf)
+                    break  # wait for the rest of the tag
+                out.append(buf[pos:end + 1])
+                pos = end + 1
+                continue
+            end = pos
+            while end < len(buf) and not buf[end].isspace():
+                end += 1
+            if end == len(buf) and not final:
+                break  # incomplete word
+            out.append(buf[pos:end])
+            pos = end
+        self.buffer = buf[pos:]
+        return out
+
+    def receive(self, frame_rate: float = 12.5, final: bool = False):
+        return [self._emit(w, frame_rate)
+                for w in self._split_complete(final) if w]
+
+    def flush(self, frame_rate: float = 12.5):
+        return self.receive(frame_rate, final=True)

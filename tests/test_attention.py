@@ -151,3 +151,16 @@ def test_cross_attention(rng):
     p /= p.sum(-1, keepdims=True)
     out = np.einsum("hts,shd->thd", p, v).reshape(3, 16) @ wout.T
     np.testing.assert_allclose(np.asarray(y)[0], out, rtol=2e-2, atol=2e-2)
+
+
+def test_bias_pattern_lut_matches_computed():
+    from moshi_tpu.nn.attention import (build_bias_pattern,
+                                        bias_pattern_lookup)
+    cap, context = 8, 5
+    pattern = build_bias_pattern(cap, context, t=1)
+    assert pattern.shape == (16, 1, 8)
+    for off in [0, 1, 3, 7, 8, 9, 15, 16, 23, 100]:
+        offs = jnp.asarray([off], jnp.int32)
+        lut = np.asarray(bias_pattern_lookup(pattern, offs, cap))
+        ref = np.asarray(streaming_attn_bias(offs, 1, cap, context))
+        np.testing.assert_array_equal(lut, ref), off

@@ -55,3 +55,30 @@ def test_empty():
     tok, _ = make_tok()
     assert tok.encode("") == []
     assert tok.decode([]) == ""
+
+
+def test_streaming_tokenizer_incremental():
+    from moshi_tpu.tokenizer import StreamingTextTokenizer
+
+    class CharTok:
+        def encode(self, w):
+            return [100 + ord(c) % 20 for c in w]
+
+    st = StreamingTextTokenizer(CharTok(), insert_bos=True, bos_id=1)
+    st.send("hel")
+    assert st.receive() == []            # incomplete word held back
+    st.send("lo wor")
+    out = st.receive()
+    assert len(out) == 1 and out[0][1] == "hello"
+    assert out[0][0][0] == 1             # BOS on first word
+    st.send("ld ")
+    out = st.receive()
+    assert out[0][1] == "world" and out[0][0][0] != 1
+    # break tag spanning chunks
+    st.send('<break ti')
+    assert st.receive() == []
+    st.send('me="2s"/> done')
+    out = st.receive()
+    assert out[0][0] == [] and out[0][2] == 25   # 2s * 12.5
+    out = st.flush()
+    assert out[0][1] == "done"
