@@ -77,6 +77,7 @@ class MoshiConfig:
     depformer_dim: int = 1024
     depformer_num_heads: int = 16
     depformer_num_layers: int = 4
+    depformer_dim_feedforward: Optional[int] = None  # else from weights
     depformer_hidden_scale: Optional[float] = None
     depformer_multi_linear: bool = True
     depformer_context: int = 0

@@ -72,7 +72,7 @@ class LMConfig:
     depformer_dim: int = 1024
     depformer_heads: int = 16
     depformer_layers: int = 6
-    depformer_hidden: int = 2816     # from weights; ~2.75x dim for 7B
+    depformer_hidden: int = 4224     # depformer_dim_feedforward (7B config)
     depformer_context: int = 0       # 0 -> weights_per_step count
     depformer_max_period: float = 10_000.0
     depformer_pos_emb: str = "none"
@@ -153,8 +153,9 @@ class LMConfig:
             depformer_dim=c.depformer_dim,
             depformer_heads=c.depformer_num_heads,
             depformer_layers=c.depformer_num_layers,
-            depformer_hidden=int(c.depformer_dim *
-                                 (c.depformer_hidden_scale or 4.125)),
+            depformer_hidden=(c.depformer_dim_feedforward
+                              or int(c.depformer_dim *
+                                     (c.depformer_hidden_scale or 4.125))),
             depformer_context=c.depformer_context,
             depformer_max_period=float(c.depformer_max_period or 10_000),
             depformer_pos_emb=c.depformer_pos_emb,

@@ -107,3 +107,66 @@ def make_voice_prefix(encode_fn, audio: np.ndarray, lm_cfg: LMConfig,
         audio_prefixes[-3][0] = frame[0]
         frame[0] = UNGENERATED
     return text_prefixes, audio_prefixes
+
+
+class TTSModel:
+    """All-in-one TTS convenience wrapper (parity:
+    moshi_ttsmodel / moshi_ttsmodel_generate_wav, tts.h:310-419): loads
+    config + LM + mimi + tokenizer, builds the StateMachine, and exposes a
+    blocking generate_wav(script) loop."""
+
+    def __init__(self, lm_cfg, lm_params, mimi, mimi_params, tokenizer,
+                 config, *, seed: int = 0, mimi_dtype=None):
+        import jax.numpy as jnp
+        from moshi_tpu.models.state_machine import StateMachine, TokenIds
+        from moshi_tpu.runtime.pipeline import TTSPipeline
+        self.lm_cfg = lm_cfg
+        self.lm_params = lm_params
+        self.mimi = mimi
+        self.mimi_params = mimi_params
+        self.tokenizer = tokenizer
+        self.config = config
+        self.seed = seed
+        self.token_ids = TokenIds(card=lm_cfg.text_card + 1)
+        self.machine = StateMachine(
+            text_card=lm_cfg.text_card + 1,
+            second_stream_ahead=(config.tts_config.second_stream_ahead
+                                 if lm_cfg.demux_second_stream else 0),
+            max_padding=8, initial_padding=2)
+        self.pipe = TTSPipeline(
+            mimi, lm_cfg,
+            temp=config.lm_gen_config.temp,
+            temp_text=config.lm_gen_config.temp_text,
+            top_k=config.lm_gen_config.top_k,
+            top_k_text=config.lm_gen_config.top_k_text,
+            mimi_dtype=mimi_dtype if mimi_dtype is not None
+            else jnp.bfloat16)
+
+    def generate_wav(self, script, max_frames: int = 2500,
+                     final_padding: int = 4):
+        """script: list of lines.  Returns (wav float32 [T], n_frames)."""
+        import jax
+        from moshi_tpu.models.state_machine import script_to_entries
+        entries = script_to_entries(self.tokenizer, self.token_ids, 12.5,
+                                    script, multi_speaker=False,
+                                    padding_between=1)
+        mstate = self.machine.new_state(entries)
+        state = self.pipe.init_state(1, jax.random.PRNGKey(self.seed))
+        wav = []
+        offset = 0
+        while offset < max_frames:
+            replace = offset < self.lm_cfg.delay_steps
+            out, state = self.pipe.step(
+                self.mimi_params, self.lm_params, state,
+                machine=self.machine, machine_state=mstate, offset=offset,
+                depformer_replace=replace)
+            if bool(np.asarray(out["valid"])[0]) and not replace:
+                wav.append(np.asarray(out["audio_out"])[0])
+            offset += 1
+            end = mstate.end_step
+            if end >= 0 and offset >= end + self.lm_cfg.delay_steps + \
+                    final_padding:
+                break
+        audio = np.concatenate(wav) if wav else np.zeros(FRAME_SIZE,
+                                                         np.float32)
+        return audio, offset
