@@ -1,5 +1,8 @@
 """ctypes binding for the native C++ block quantizer (native/quant.cpp).
 
+Scales come back as raw bf16 bits (uint16) converted to f32; the formats
+layer casts them to jnp.bfloat16 exactly.
+
 Quantizing a 7B checkpoint in numpy takes minutes; the multithreaded C++
 path does it in seconds — the analog of the reference's C++
 quantize-on-load (loader.h:149-189, README.md:53 "conversion takes a few
@@ -15,6 +18,8 @@ from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+from moshi_tpu.io.safetensors import bf16_to_f32
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -65,12 +70,12 @@ def quantize_native(w: np.ndarray, fmt: str):
         q = np.empty((o, i), np.int8)
         d = np.empty((o, i // 32), np.uint16)
         lib.moshi_quantize_q8_0(w, o, i, q, d)
-        return {"q": q, "d": d.view(np.float16)}
+        return {"q": q, "d": bf16_to_f32(d)}
     if fmt == "q4_0":
         q = np.empty((o, i // 2), np.uint8)
         d = np.empty((o, i // 32), np.uint16)
         lib.moshi_quantize_q4_0(w, o, i, q, d)
-        return {"q": q, "d": d.view(np.float16)}
+        return {"q": q, "d": bf16_to_f32(d)}
     if fmt == "q4_k":
         nsb = i // 256
         q = np.empty((o, i // 2), np.uint8)
@@ -79,6 +84,6 @@ def quantize_native(w: np.ndarray, fmt: str):
         d = np.empty((o, nsb), np.uint16)
         dmin = np.empty((o, nsb), np.uint16)
         lib.moshi_quantize_q4_k(w, o, i, q, sc, mn, d, dmin)
-        return {"q": q, "sc": sc, "mn": mn, "d": d.view(np.float16),
-                "dmin": dmin.view(np.float16)}
+        return {"q": q, "sc": sc, "mn": mn, "d": bf16_to_f32(d),
+                "dmin": bf16_to_f32(dmin)}
     raise ValueError(fmt)

@@ -27,6 +27,22 @@ namespace {
 constexpr int QK = 32;
 constexpr int QK_K = 256;
 
+static inline uint16_t f32_to_bf16(float f) {
+    // round-to-nearest-even truncation to bfloat16 (scales are bf16 on
+    // TPU: Mosaic kernels have no f16 type)
+    uint32_t u;
+    std::memcpy(&u, &f, 4);
+    uint32_t rounding = 0x7FFFu + ((u >> 16) & 1u);
+    return (uint16_t)((u + rounding) >> 16);
+}
+
+static inline float bf16_to_f32(uint16_t h) {
+    uint32_t u = (uint32_t)h << 16;
+    float f;
+    std::memcpy(&f, &u, 4);
+    return f;
+}
+
 static inline uint16_t f32_to_f16(float f) {
     uint32_t x;
     std::memcpy(&x, &f, 4);
@@ -100,9 +116,9 @@ void moshi_quantize_q8_0(const float* w, int64_t O, int64_t I,
             float amax = 0.f;
             for (int i = 0; i < QK; i++) amax = std::max(amax, std::fabs(blk[i]));
             float scale = amax / 127.f;
-            uint16_t dh = f32_to_f16(scale);
+            uint16_t dh = f32_to_bf16(scale);
             d[o * nb + b] = dh;
-            float ds = f16_to_f32(dh);
+            float ds = bf16_to_f32(dh);
             float inv = ds > 0.f ? 1.f / ds : 0.f;
             int8_t* dst = q + o * I + b * QK;
             for (int i = 0; i < QK; i++) {
@@ -127,9 +143,9 @@ void moshi_quantize_q4_0(const float* w, int64_t O, int64_t I,
                 float a = std::fabs(blk[i]);
                 if (a > amax) { amax = a; ext = blk[i]; }
             }
-            uint16_t dh = f32_to_f16(ext / -8.f);
+            uint16_t dh = f32_to_bf16(ext / -8.f);
             d[o * nb + b] = dh;
-            float ds = f16_to_f32(dh);
+            float ds = bf16_to_f32(dh);
             float inv = ds != 0.f ? 1.f / ds : 0.f;
             for (int i = 0; i < QK; i++) {
                 int v = (int)std::lround(blk[i] * inv) + 8;
@@ -166,12 +182,12 @@ void moshi_quantize_q4_k(const float* w, int64_t O, int64_t I,
                 smax = std::max(smax, scales[b]);
                 mmax = std::max(mmax, mins[b]);
             }
-            uint16_t dh = f32_to_f16(smax / 63.f);
-            uint16_t dmh = f32_to_f16(mmax / 63.f);
+            uint16_t dh = f32_to_bf16(smax / 63.f);
+            uint16_t dmh = f32_to_bf16(mmax / 63.f);
             d_out[o * nsb + s] = dh;
             dmin_out[o * nsb + s] = dmh;
-            float ds = f16_to_f32(dh);
-            float dms = f16_to_f32(dmh);
+            float ds = bf16_to_f32(dh);
+            float dms = bf16_to_f32(dmh);
             for (int b = 0; b < 8; b++) {
                 int scq = ds > 0.f ?
                     (int)std::lround(scales[b] / ds) : 0;

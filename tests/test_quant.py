@@ -107,3 +107,33 @@ def test_quantize_tree(rng):
     assert isinstance(qp["linear"]["weight"], QuantTensor)
     assert not isinstance(qp["linear"]["bias"], QuantTensor)
     assert not isinstance(qp["norm"]["alpha"], QuantTensor)
+
+
+@pytest.mark.parametrize("fmt,min_snr_db", [("q8_0", 38.0), ("q4_k", 16.0),
+                                            ("q4_0", 12.0)])
+def test_quantization_snr(rng, fmt, min_snr_db):
+    # reconstruction SNR must stay in the format's class (the BASELINE
+    # accuracy criterion: within the q4_k/q8_0 deltas at the bit-width)
+    w = rng.normal(size=(256, 1024)).astype(np.float32)
+    qt = quantize(w, fmt)
+    rec = np.asarray(dequantize(qt, jnp.float32))
+    snr = 10 * np.log10((w ** 2).mean() / ((w - rec) ** 2).mean())
+    assert snr > min_snr_db, f"{fmt}: SNR {snr:.1f} dB"
+
+
+def test_native_matches_numpy_quantizer(rng):
+    from moshi_tpu.native_quant import available, quantize_native
+    if not available():
+        pytest.skip("native lib not built")
+    w = rng.normal(size=(64, 512)).astype(np.float32)
+    for fmt in ("q8_0", "q4_0", "q4_k"):
+        qn = quantize(w, fmt, native=True)
+        qp = quantize(w, fmt, native=False)
+        a = np.asarray(dequantize(qn, jnp.float32))
+        b = np.asarray(dequantize(qp, jnp.float32))
+        # same algorithm, different rounding paths -> near-identical
+        denom = np.abs(w).mean()
+        assert np.abs(a - b).mean() / denom < 0.02, fmt
+        # exact packing layout agreement on the quantized ints
+        if fmt != "q4_k":
+            np.testing.assert_array_equal(np.asarray(qn.q), np.asarray(qp.q))
