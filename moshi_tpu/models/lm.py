@@ -185,8 +185,14 @@ def _init_text_emb(key, cfg: LMConfig, dim: int, dtype):
 
 
 def _init_depformer_layers(key, cfg: LMConfig, dtype):
-    """Stacked depformer layers: shared norms [L, ...], per-step attention
-    and gating weights [L, W, ...]."""
+    """Stacked depformer layers, **steps-outer**: shared norms [L, ...],
+    per-step attention and gating weights [W, L, ...].
+
+    Steps-outer layout lets the per-frame scan over depformer steps
+    consume the weight stacks as scan xs directly — zero per-step weight
+    gathers at runtime (the reference selects per-step weight sets by
+    index each step, transformer.h:55-146; here the selection is baked
+    into the layout once at init/load)."""
     dcfg = cfg.depformer
     w = cfg.depformer_num_weights
     keys = jax.random.split(key, dcfg.num_layers)
@@ -203,7 +209,12 @@ def _init_depformer_layers(key, cfg: LMConfig, dtype):
         }
 
     layers = [one_layer(k) for k in keys]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    # [L, W, ...] -> [W, L, ...] for the per-step leaves
+    for key_ in ("self_attn", "gating"):
+        stacked[key_] = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), stacked[key_])
+    return stacked
 
 
 def init_lm_params(key, cfg: LMConfig, dtype=jnp.float32):
@@ -302,6 +313,38 @@ def _depformer_text_embed(cfg: LMConfig, dep_params, text_token):
     return scaled_embedding(dep_params["text_emb"], text_token)
 
 
+def _per_step_weights(cfg: LMConfig, dep):
+    """Assemble the scan-xs tree of per-step weights [dep_q, ...]:
+    schedule selection is a trace-time (static) gather — for the usual
+    identity schedule it is a no-op view."""
+    dep_q = cfg.runtime_dep_q
+    sched = list(cfg.schedule[:dep_q]) if len(cfg.schedule) >= dep_q \
+        else list(range(dep_q))
+    ident = sched == list(range(dep_q)) and \
+        cfg.depformer_num_weights == dep_q
+
+    def sel(tree):
+        if ident:
+            return tree
+        idx = jnp.asarray(sched)
+        return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+    xs = {
+        "in": sel(dep["in"]),                         # [dep_q, dd, dim]
+        "attn": sel(dep["layers"]["self_attn"]),      # [dep_q, L, ...]
+        "gating": sel(dep["layers"]["gating"]),       # [dep_q, L, ...]
+        "linears": dep["linears"],                    # [dep_q, card, dd]
+    }
+    if cfg.dep_q > 1:
+        # step cb uses emb[cb-1]; prepend a dummy row so xs align by step
+        emb = dep["emb"]
+        pad = jax.tree_util.tree_map(lambda a: a[:1], emb)
+        xs["emb"] = jax.tree_util.tree_map(
+            lambda p, a: jnp.concatenate([p, a[: dep_q - 1]], axis=0),
+            pad, emb)
+    return xs
+
+
 def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
                        key, temp: float, top_k: int):
     """Generate dep_q audio tokens for one frame.
@@ -309,36 +352,28 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
     transformer_out: [B, dim]; text_token: [B] (already machine-processed
     for TTS).  Returns tokens [B, dep_q] int32.  The depformer KV state is
     per-frame (capacity = dep_q / depformer_context) and created fresh here
-    — the reference resets it every frame too (lm.h:478-553).
-    """
+    — the reference resets it every frame too (lm.h:478-553).  All
+    per-step weights are threaded as scan xs (steps-outer layout): no
+    weight gathers inside the loop."""
     dep = params["depformer"]
     dcfg = cfg.depformer
     dep_q = cfg.runtime_dep_q
     b = transformer_out.shape[0]
-    schedule = jnp.asarray(cfg.schedule[:dep_q] if len(cfg.schedule) >= dep_q
-                           else list(range(dep_q)), jnp.int32)
     kv0 = init_transformer_state(dcfg, b)
     keys = jax.random.split(key, dep_q)
+    step_w = _per_step_weights(cfg, dep)
 
     def step(carry, xs):
         prev_token, kv = carry
-        cb, k_cb = xs
-        w_idx = schedule[cb]
-        # per-step input projection of the temporal hidden state
-        w_in = _gather_step(dep["in"], w_idx)
-        h = linear(w_in, transformer_out)                   # [B, dd]
+        cb, k_cb, w = xs
+        h = linear(w["in"], transformer_out)                # [B, dd]
 
         def text_branch(_):
             return _depformer_text_embed(cfg, dep, text_token)
 
         def audio_branch(_):
-            i = jnp.maximum(cb - 1, 0)
-            table = jax.lax.dynamic_index_in_dim(dep["emb"]["weight"], i, 0,
-                                                 keepdims=False)
-            lr_w = jax.lax.dynamic_index_in_dim(
-                dep["emb"]["low_rank"]["weight"], i, 0, keepdims=False)
-            e = scaled_embedding({"weight": table}, prev_token)
-            return linear({"weight": lr_w}, e)
+            e = scaled_embedding({"weight": w["emb"]["weight"]}, prev_token)
+            return linear(w["emb"]["low_rank"], e)
 
         if cfg.dep_q > 1:
             tok_emb = jax.lax.cond(cb == 0, text_branch, audio_branch,
@@ -347,29 +382,32 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
             tok_emb = text_branch(None)
         x = (h + tok_emb)[:, None, :]                       # [B, 1, dd]
 
-        # one pass through the depformer stack with per-step weights
         def layer_body(hh, per_layer):
-            lp, kv_l = per_layer
+            shared, attn, gating, kv_l = per_layer
             layer_params = {
-                "norm1": lp["norm1"],
-                "norm2": lp["norm2"],
-                "self_attn": _gather_step(lp["self_attn"], w_idx),
-                "gating": _gather_step(lp["gating"], w_idx),
+                "norm1": shared["norm1"], "norm2": shared["norm2"],
+                "self_attn": attn, "gating": gating,
             }
             y, new_kv_l = transformer_layer(
                 dcfg, layer_params, kv_l, hh,
                 jnp.full((b,), cb, jnp.int32))
             return y, new_kv_l
 
-        y, new_kv = jax.lax.scan(layer_body, x, (dep["layers"], kv))
-        w_lin = _gather_step(dep["linears"], cb)
-        logits = linear(w_lin, y[:, 0]).astype(jnp.float32)  # [B, card]
+        shared = {"norm1": dep["layers"]["norm1"],
+                  "norm2": dep["layers"]["norm2"]}
+        y, new_kv = jax.lax.scan(layer_body, x,
+                                 (shared, w["attn"], w["gating"], kv))
+        logits = linear(w["linears"], y[:, 0]).astype(jnp.float32)
         token = sample_token(logits, k_cb, temp, top_k)
         return (token, new_kv), token
 
+    xs = {"in": step_w["in"], "attn": step_w["attn"],
+          "gating": step_w["gating"], "linears": step_w["linears"]}
+    if cfg.dep_q > 1:
+        xs["emb"] = step_w["emb"]
     init = (text_token, kv0)  # prev_token unused at cb=0
     (_, _), tokens = jax.lax.scan(
-        step, init, (jnp.arange(dep_q, dtype=jnp.int32), keys))
+        step, init, (jnp.arange(dep_q, dtype=jnp.int32), keys, xs))
     return jnp.moveaxis(tokens, 0, 1)                       # [B, dep_q]
 
 

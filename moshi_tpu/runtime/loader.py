@@ -284,7 +284,13 @@ def _depformer_layers(src: _Source, cfg: LMConfig, fmt, dtype):
             "self_attn": _stack(steps_attn),
             "gating": _stack(steps_gate),
         })
-    return _stack(layers)
+    stacked = _stack(layers)
+    # steps-outer layout [W, L, ...] (see models/lm._init_depformer_layers)
+    import jax
+    for key in ("self_attn", "gating"):
+        stacked[key] = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), stacked[key])
+    return stacked
 
 
 def load_lm_params(path: str, cfg: LMConfig, fmt: Optional[str] = None,

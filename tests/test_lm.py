@@ -34,7 +34,7 @@ def test_param_shapes(lm):
     assert dep["in"]["weight"].shape == (2, 16, 32)
     assert dep["linears"]["weight"].shape == (2, 32, 16)
     assert dep["emb"]["weight"].shape == (1, 33, 8)
-    # per-layer per-step attention weights [L, W, 3dd, dd]
+    # per-step per-layer attention weights [W, L, 3dd, dd] (steps-outer)
     assert dep["layers"]["self_attn"]["in_proj"]["weight"].shape == (2, 2, 48, 16)
 
 

@@ -167,8 +167,8 @@ def test_lm_loader_roundtrip(tmp_path, rng):
         np.asarray(params["text_linear"]["weight"]),
         ckpt["lm.text_linear.weight"], rtol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(params["depformer"]["layers"]["gating"]["linear_in"]["weight"][1, 0]),
-        ckpt["lm.depformer.layers.1.gating.0.linear_in.weight"], rtol=1e-5)
+        np.asarray(params["depformer"]["layers"]["gating"]["linear_in"]["weight"][0, 1]),
+        ckpt["lm.depformer.layers.1.gating.0.linear_in.weight"], rtol=1e-5)  # [W, L]
     # loaded params run a full generation step
     state = init_gen_state(_lm_cfg, 1)
     out, _ = lm_gen_step(_lm_cfg, params, state, temp=0.0, temp_text=0.0)
