@@ -38,6 +38,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compilation cache: repeated bench runs skip recompiles
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
     from moshi_tpu.models.mimi import MimiConfig, MimiModel
