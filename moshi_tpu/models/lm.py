@@ -288,11 +288,14 @@ def temporal_forward(cfg: LMConfig, params, kv_state, tokens, offset,
                      condition_sum=None, cross_kv=None):
     """tokens [B, T, K] -> (transformer_out [B, T, dim],
     text_logits [B, T, text_card], new_kv_state)."""
-    x = embed_frame(cfg, params, tokens, condition_sum)
+    from moshi_tpu.utils.capture import capture
+    x = capture("lm/embed", embed_frame(cfg, params, tokens, condition_sum))
     h, new_kv = transformer_forward(cfg.transformer, params["transformer"],
                                     kv_state, x, offset, cross_kv)
-    h = rms_norm(params["out_norm"], h)
-    logits = linear(params["text_linear"], h, out_dtype=jnp.float32)
+    h = capture("lm/transformer_out", rms_norm(params["out_norm"], h))
+    logits = capture("lm/text_logits",
+                     linear(params["text_linear"], h,
+                            out_dtype=jnp.float32))
     return h, logits, new_kv
 
 

@@ -115,8 +115,10 @@ class MimiModel:
         b, t = audio.shape
         frame = self.cfg.seanet.hop_length * self.cfg.frames_per_step
         assert t % frame == 0, f"encode needs multiples of {frame}, got {t}"
+        from moshi_tpu.utils.capture import capture
         x = audio[..., None]                                    # [B, T, 1]
         h, enc_state = self.encoder(params["encoder"], state["encoder"], x)
+        h = capture("mimi/encoder_out", h)
         h, tr_state = transformer_forward(
             self.cfg.transformer, params["encoder_transformer"],
             state["transformer"], h, state["offset"])
@@ -130,7 +132,9 @@ class MimiModel:
 
     def decode_step(self, params, state, codes):
         """codes [B, n, n_q] -> (audio [B, n*1920], new_state)."""
-        h = self.quantizer.decode(params["quantizer"], codes)   # [B, n, D]
+        from moshi_tpu.utils.capture import capture
+        h = capture("mimi/rvq_decode",
+                    self.quantizer.decode(params["quantizer"], codes))
         h, up_state = self.upsample(params["upsample"], state["upsample"], h)
         h, tr_state = transformer_forward(
             self.cfg.transformer, params["decoder_transformer"],

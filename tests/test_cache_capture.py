@@ -85,3 +85,14 @@ def test_frame_timer():
             pass
     rep = t.report()
     assert rep["frames"] == 5 and rep["realtime"]
+
+
+def test_model_capture_taps():
+    # the built-in taps record lm intermediates when a recorder is active
+    params = init_lm_params(jax.random.PRNGKey(0), _cfg)
+    state = init_gen_state(_cfg, 1)
+    with recording() as rec:
+        lm_gen_step(_cfg, params, state, temp=0.0, temp_text=0.0)
+        jax.effects_barrier()
+    assert "lm/transformer_out" in rec.values
+    assert "lm/text_logits" in rec.values
