@@ -384,6 +384,9 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
         else:
             tok_emb = text_branch(None)
         x = (h + tok_emb)[:, None, :]                       # [B, 1, dd]
+        offset_b = jnp.full((b,), cb, jnp.int32)
+        from moshi_tpu.nn.attention import attn_shared
+        attn_sh = attn_shared(dcfg.mha, offset_b, 1)        # shared by all L
 
         def layer_body(hh, per_layer):
             shared, attn, gating, kv_l = per_layer
@@ -392,8 +395,7 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
                 "self_attn": attn, "gating": gating,
             }
             y, new_kv_l = transformer_layer(
-                dcfg, layer_params, kv_l, hh,
-                jnp.full((b,), cb, jnp.int32))
+                dcfg, layer_params, kv_l, hh, offset_b, shared=attn_sh)
             return y, new_kv_l
 
         shared = {"norm1": dep["layers"]["norm1"],

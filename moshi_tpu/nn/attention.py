@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from moshi_tpu.nn.layers import linear
-from moshi_tpu.nn.rope import apply_rope
+from moshi_tpu.nn.rope import apply_rope, rope_angles
 
 NEG_BIAS = -1e9  # applied in f32 pre-softmax (reference uses -1e5 in f16)
 
@@ -129,23 +129,39 @@ def bias_pattern_lookup(pattern: jnp.ndarray, offset: jnp.ndarray,
     return pattern[idx]
 
 
-def streaming_mha(cfg: MHAConfig, params, state, x, offset):
+def attn_shared(cfg: MHAConfig, offset, t: int):
+    """Per-step quantities shared by every layer of a stack (the
+    reference computes attn_bias + rope embedding once per transformer,
+    not per layer: transformer.h:1150-1213): positions, rope cos/sin,
+    additive bias."""
+    positions = offset[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    cos_sin = (rope_angles(positions, cfg.head_dim, cfg.rope_max_period)
+               if cfg.rope_max_period else None)
+    bias = streaming_attn_bias(offset, t, cfg.cap, cfg.context)
+    return {"positions": positions, "cos_sin": cos_sin, "bias": bias}
+
+
+def streaming_mha(cfg: MHAConfig, params, state, x, offset, shared=None):
     """x: [B, T, D], offset: [B] (position of x[:, 0]).
-    Returns (y [B, T, D], new_state).  Caller advances offset by T."""
+    Returns (y [B, T, D], new_state).  Caller advances offset by T.
+    `shared` (from attn_shared) avoids recomputing rope angles/bias/
+    positions in every layer of a stack."""
     b, t, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
+    if shared is None:
+        shared = attn_shared(cfg, offset, t)
     qkv = linear(params["in_proj"], x)                     # [B, T, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, t, h, hd)
     k = k.reshape(b, t, h, hd)
     v = v.reshape(b, t, h, hd)
-    positions = offset[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    positions = shared["positions"]
     if cfg.rope_max_period:
-        q = apply_rope(q, positions, cfg.rope_max_period)
-        k = apply_rope(k, positions, cfg.rope_max_period)
+        q = apply_rope(q, cos_sin=shared["cos_sin"])
+        k = apply_rope(k, cos_sin=shared["cos_sin"])
     kc = ring_insert(state["k"], k, positions, cfg.cap)
     vc = ring_insert(state["v"], v, positions, cfg.cap)
-    bias = streaming_attn_bias(offset, t, cfg.cap, cfg.context)  # [B, T, cap]
+    bias = shared["bias"]                                  # [B, T, cap]
     scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.bfloat16),
                         kc.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)

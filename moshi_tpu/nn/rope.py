@@ -20,15 +20,20 @@ def rope_angles(positions: jnp.ndarray, dim: int, max_period: float = 10_000.0):
     return jnp.cos(theta), jnp.sin(theta)
 
 
-def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
-               max_period: float = 10_000.0) -> jnp.ndarray:
-    """x: [B, T, H, D] with interleaved pairs; positions: [T] or [B, T]."""
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray = None,
+               max_period: float = 10_000.0, cos_sin=None) -> jnp.ndarray:
+    """x: [B, T, H, D] with interleaved pairs; positions: [T] or [B, T].
+    Pass precomputed `cos_sin` to share the angle computation across a
+    whole stack (the reference shares the rope embedding across layers,
+    transformer.h:1198-1209)."""
     b, t, h, d = x.shape
-    cos, sin = rope_angles(positions, d, max_period)  # [..., T, D/2]
+    if cos_sin is None:
+        cos_sin = rope_angles(positions, d, max_period)  # [..., T, D/2]
+    cos, sin = cos_sin
     if cos.ndim == 2:  # positions [T]
         cos = cos[None, :, None, :]
         sin = sin[None, :, None, :]
-    else:  # positions [B, T]
+    elif cos.ndim == 3:  # positions [B, T]
         cos = cos[:, :, None, :]
         sin = sin[:, :, None, :]
     xf = x.astype(jnp.float32).reshape(b, t, h, d // 2, 2)

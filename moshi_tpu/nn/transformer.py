@@ -103,10 +103,11 @@ def init_transformer_state(cfg: TransformerConfig, batch: int):
 
 
 def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
-                      cross_kv=None):
+                      cross_kv=None, shared=None):
     """One layer: x [B, T, D] -> (y, new_kv_state)."""
     h = apply_norm(cfg.norm, params["norm1"], x)
-    attn, new_kv = streaming_mha(cfg.mha, params["self_attn"], kv_state, h, offset)
+    attn, new_kv = streaming_mha(cfg.mha, params["self_attn"], kv_state, h,
+                                 offset, shared=shared)
     if cfg.use_layer_scale:
         attn = layer_scale(params["layer_scale_1"], attn)
     x = x + attn
@@ -132,15 +133,22 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
     Returns (y, new_state)."""
     layers = params["layers"]
     kv = {"k": state["k"], "v": state["v"]}
+    # rope angles / additive bias / positions computed ONCE per step and
+    # closed over by the scan body (shared across layers, like the
+    # reference's per-stack attn_bias + rope embedding)
+    from moshi_tpu.nn.attention import attn_shared
+    shared = attn_shared(cfg.mha, offset, x.shape[1])
     if cross_kv is None:
         def body(h, xs):
             lp, kv_l = xs
-            return transformer_layer(cfg, lp, kv_l, h, offset, None)
+            return transformer_layer(cfg, lp, kv_l, h, offset, None,
+                                     shared=shared)
         y, new_kv = jax.lax.scan(body, x, (layers, kv))
     else:
         def body(h, xs):
             lp, kv_l, ckv = xs
-            return transformer_layer(cfg, lp, kv_l, h, offset, ckv)
+            return transformer_layer(cfg, lp, kv_l, h, offset, ckv,
+                                     shared=shared)
         y, new_kv = jax.lax.scan(body, x, (layers, kv, cross_kv))
     return y, new_kv
 
