@@ -332,11 +332,16 @@ def _per_step_weights(cfg: LMConfig, dep):
         idx = jnp.asarray(sched)
         return jax.tree_util.tree_map(lambda a: a[idx], tree)
 
+    def head(tree, n):
+        # slice stacked leaves to the runtime step count (personaplex
+        # runs dep_q = 8 of the model's 16, lm.h:803-804)
+        return jax.tree_util.tree_map(lambda a: a[:n], tree)
+
     xs = {
         "in": sel(dep["in"]),                         # [dep_q, dd, dim]
         "attn": sel(dep["layers"]["self_attn"]),      # [dep_q, L, ...]
         "gating": sel(dep["layers"]["gating"]),       # [dep_q, L, ...]
-        "linears": dep["linears"],                    # [dep_q, card, dd]
+        "linears": head(dep["linears"], dep_q),       # [dep_q, card, dd]
     }
     if cfg.dep_q > 1:
         # step cb uses emb[cb-1]; prepend a dummy row so xs align by step

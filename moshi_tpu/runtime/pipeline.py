@@ -145,9 +145,10 @@ class TTSPipeline:
                                 temp_text=temp_text, top_k_text=top_k_text)
 
         def audio_phase(mimi_params, lm_params, state, text_token, h,
-                        replace):
+                        forced_audio, replace):
             out, lm_state = lm_audio_step(
                 lm_cfg, lm_params, state["lm"], text_token, h,
+                forced_audio=forced_audio,
                 depformer_replace=replace, temp=temp, top_k=top_k)
             audio_codes = jnp.where(out["audio"] < 0, 0, out["audio"])
             if dep_q < mimi_n_q:
@@ -162,7 +163,8 @@ class TTSPipeline:
                 {"lm": lm_state, "dec": dec_state}
 
         self._text_phase = jax.jit(text_phase)
-        self._audio_phase = jax.jit(audio_phase, static_argnums=(5,))
+        self._audio_phase = jax.jit(audio_phase, static_argnums=(6,))
+        self._dep_q = dep_q
 
     def init_state(self, batch: int, key=None):
         return {
@@ -172,11 +174,13 @@ class TTSPipeline:
 
     def step(self, mimi_params, lm_params, state, machine=None,
              machine_state=None, offset: int = 0, forced_text=None,
-             condition_sum=None, cross_kv=None,
+             forced_audio=None, condition_sum=None, cross_kv=None,
              depformer_replace: bool = False):
         """One TTS frame.  When a machine is given, the sampled text token
         round-trips through the host FSM between the two launches
-        (the reference's on_text hook, lm.h:881-899)."""
+        (the reference's on_text hook, lm.h:881-899).  forced_audio
+        [B, dep_q] with UNGENERATED = keep (voice prefixes)."""
+        from moshi_tpu.models.lm import UNGENERATED
         tok, h, lm_state = self._text_phase(lm_params, state["lm"],
                                             condition_sum, cross_kv)
         if forced_text is not None:
@@ -189,7 +193,11 @@ class TTSPipeline:
         if text_token is not None:
             b = np.asarray(tok).shape[0]
             tok = jnp.full((b,), text_token, jnp.int32)
+        if forced_audio is None:
+            b = np.asarray(tok).shape[0]
+            forced_audio = jnp.full((b, self._dep_q), UNGENERATED,
+                                    jnp.int32)
         out, new_sub = self._audio_phase(
             mimi_params, lm_params, {"lm": lm_state, "dec": state["dec"]},
-            tok, h, depformer_replace)
+            tok, h, forced_audio, depformer_replace)
         return out, new_sub

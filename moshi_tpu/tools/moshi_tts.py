@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("-i", "--input", default=None, help="script file")
     ap.add_argument("-o", "--output", default="tts.wav")
     ap.add_argument("--mimi-file", default=None)
+    ap.add_argument("--voice", default=None,
+                    help="voice file: .safetensors with voice.speaker_wavs "
+                         "(cross-attention models) or a speaker wav "
+                         "(prefix models)")
     ap.add_argument("--bench", action="store_true")
     ap.add_argument("--max-frames", type=int, default=2000)
     ap.add_argument("--temp", type=float, default=0.6)
@@ -103,17 +107,62 @@ def main(argv=None):
     import jax
     state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
 
+    # -- voice -----------------------------------------------------------
+    condition_sum = cross_kv = None
+    text_prefixes: list = []
+    audio_prefixes: list = []
+    if args.voice and lm_cfg.cross_attention:
+        # cross-attention voice conditioning (moshi.cpp:296-366)
+        from moshi_tpu.models.personaplex import load_voice_file
+        from moshi_tpu.models.tts import voice_condition
+        from moshi_tpu.nn.transformer import transformer_cross_kv
+        from moshi_tpu.runtime.loader import _Source
+        from moshi_tpu.models.tts import load_conditioners
+        from moshi_tpu.tools.common import resolve_model_file
+        _, _, wavs = load_voice_file(args.voice)
+        assert wavs is not None, f"{args.voice}: no voice.speaker_wavs"
+        src = _Source(str(resolve_model_file(config.moshi_name,
+                                             args.model_dir)))
+        cond = load_conditioners(src)
+        src.close()
+        csum, ccross = voice_condition(cond, jnp.asarray(wavs))
+        condition_sum = csum
+        cross_kv = transformer_cross_kv(lm_cfg.transformer,
+                                        lm_params["transformer"], ccross)
+    elif args.voice:
+        # voice prefix for non-cross models (tts.h:218-305)
+        from moshi_tpu.models.tts import make_voice_prefix
+        from moshi_tpu.runtime.session import MimiStreamer
+        from moshi_tpu.tools.common import read_audio_24k
+        streamer = MimiStreamer(mimi, mimi_params)
+        audio = read_audio_24k(args.voice)
+        text_prefixes, audio_prefixes = make_voice_prefix(
+            lambda a: streamer.encode(a), audio, lm_cfg, lm_cfg.delay_steps)
+
     wav_parts = []
     text_tokens = 0
     final_padding = 4
     t0 = time.perf_counter()
     frames = 0
     offset = 0
+    from moshi_tpu.models.lm import UNGENERATED
     while frames < args.max_frames:
         replace = offset < lm_cfg.delay_steps
+        forced_text = (int(text_prefixes.pop(0)) if text_prefixes else None)
+        forced_audio = None
+        if audio_prefixes:
+            codes = audio_prefixes.pop(0)
+            fa = np.full((1, lm_cfg.runtime_dep_q), UNGENERATED, np.int32)
+            fa[0, : len(codes)] = codes
+            import jax.numpy as _jnp
+            forced_audio = _jnp.asarray(fa)
         out, state = pipe.step(mimi_params, lm_params, state,
                                machine=machine, machine_state=mstate,
-                               offset=offset, depformer_replace=replace)
+                               offset=offset, forced_text=forced_text,
+                               forced_audio=forced_audio,
+                               condition_sum=condition_sum,
+                               cross_kv=cross_kv,
+                               depformer_replace=replace)
         offset += 1
         frames += 1
         if bool(np.asarray(out["valid"])[0]) and not replace:
