@@ -95,3 +95,35 @@ def test_mimi_streamer(rng):
     audio2 = st.decode(np.asarray([[-1, 3]]))
     assert audio2.shape == (1, cfg.seanet.hop_length * 2)
     st.reset()
+
+
+def test_batched_sessions_equal_separate_runs(lm_params):
+    """State isolation: two sessions in one batch (greedy sampling) must
+    produce exactly what each produces alone — with long-enough streams
+    to wrap the ring KV cache (context 32 < 40 frames)."""
+    import jax.numpy as jnp
+    from moshi_tpu.models.lm import init_gen_state, lm_gen_step
+    cfg = _cfg
+    rng = np.random.default_rng(7)
+    others = rng.integers(0, 32, size=(40, 2, 2)).astype(np.int32)
+
+    step = jax.jit(lambda p, s, o: lm_gen_step(cfg, p, s, other_audio=o,
+                                               temp=0.0, temp_text=0.0))
+
+    def run(batch_rows):
+        state = init_gen_state(cfg, len(batch_rows), jax.random.PRNGKey(0))
+        outs = []
+        for f in range(40):
+            o = jnp.asarray(others[f][batch_rows])
+            out, state = step(lm_params, state, o)
+            outs.append((np.asarray(out["text"]), np.asarray(out["audio"])))
+        return outs
+
+    both = run([0, 1])
+    only0 = run([0])
+    only1 = run([1])
+    for f in range(40):
+        np.testing.assert_array_equal(both[f][0][0:1], only0[f][0])
+        np.testing.assert_array_equal(both[f][1][0:1], only0[f][1])
+        np.testing.assert_array_equal(both[f][0][1:2], only1[f][0])
+        np.testing.assert_array_equal(both[f][1][1:2], only1[f][1])
