@@ -35,6 +35,8 @@ def main():
                     help="concurrent sessions (continuous-batching throughput)")
     ap.add_argument("--pallas", action="store_true",
                     help="use fused Pallas dequant+matmul kernels")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax profiler trace to this directory")
     args = ap.parse_args()
 
     import jax
@@ -114,12 +116,18 @@ def main():
         state = one_frame(state)
 
     lat = []
+    prof = None
+    if args.profile:
+        prof = jax.profiler.trace(args.profile)
+        prof.__enter__()
     t_all = time.perf_counter()
     for _ in range(args.frames):
         t0 = time.perf_counter()
         state = one_frame(state)
         lat.append(time.perf_counter() - t0)
     total = time.perf_counter() - t_all
+    if prof is not None:
+        prof.__exit__(None, None, None)
 
     p50 = float(np.percentile(lat, 50) * 1000)
     # median-based fps: robust to one-off stalls (tunnel hiccups, a stray
