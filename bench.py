@@ -120,20 +120,17 @@ def main():
     if args.profile:
         prof = jax.profiler.trace(args.profile)
         prof.__enter__()
-    t_all = time.perf_counter()
     for _ in range(args.frames):
         t0 = time.perf_counter()
         state = one_frame(state)
         lat.append(time.perf_counter() - t0)
-    total = time.perf_counter() - t_all
     if prof is not None:
         prof.__exit__(None, None, None)
 
     p50 = float(np.percentile(lat, 50) * 1000)
     # median-based fps: robust to one-off stalls (tunnel hiccups, a stray
-    # recompile); wall-clock total also reported
+    # recompile)
     fps = 1000.0 / p50
-    del total
     baseline = 19.49  # RTX 2070 sts-q4_k fps (BASELINE.md row 1)
     result = {
         "metric": "sts_frames_per_sec_7b_q4k" if not args.small
