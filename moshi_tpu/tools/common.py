@@ -58,6 +58,9 @@ def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("-q", "--quantize", default=None,
                     choices=["q4_0", "q4_k", "q8_0"],
                     help="weight-only quantization at load")
+    ap.add_argument("-g", "--use-cache", action="store_true",
+                    help="cache the quantized model to disk and reload "
+                         "from it (the reference's GGUF-cache flow)")
 
 
 def load_mimi(args, n_q: int = 32):
@@ -90,6 +93,19 @@ def load_lm(args, config):
                                  fmt=args.quantize)
     else:
         path = resolve_model_file(config.moshi_name, args.model_dir)
+        use_cache = getattr(args, "use_cache", False) and args.quantize
+        if use_cache:
+            from moshi_tpu.runtime.cache import (load_quantized,
+                                                 save_quantized)
+            cache_path = Path(str(path) + f".{args.quantize}.moshi-tpu")
+            if cache_path.exists():
+                print(f"loading quantized cache {cache_path}")
+                return cfg, load_quantized(str(cache_path))
+            params = load_lm_params(str(path), cfg, fmt=args.quantize)
+            print(f"writing quantized cache {cache_path}")
+            save_quantized(str(cache_path), params,
+                           metadata={"fmt": args.quantize})
+            return cfg, params
         params = load_lm_params(str(path), cfg, fmt=args.quantize)
     return cfg, params
 

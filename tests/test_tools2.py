@@ -53,3 +53,38 @@ def test_personaplex_cli(tmp_path):
     assert rc == 0
     audio, _ = load_wav(out)
     assert len(audio) == 4 * 1920
+
+
+def test_quantized_cache_flow(tmp_path, rng):
+    """-q + -g: first load quantizes + writes cache; second load reads it."""
+    import argparse
+    import jax.numpy as jnp
+    from moshi_tpu.config import parse_config
+    from moshi_tpu.io.safetensors import save_safetensors
+    from moshi_tpu.tools.common import load_lm
+    from tests.test_loader import _lm_checkpoint, _lm_cfg
+
+    ckpt = _lm_checkpoint(rng)
+    path = tmp_path / "model.safetensors"
+    save_safetensors(str(path), ckpt)
+    config = parse_config({
+        "dim": 32, "num_heads": 4, "num_layers": 2, "hidden_scale": 2.0,
+        "context": 16, "card": 32, "n_q": 4, "dep_q": 2, "text_card": 48,
+        "delays": [0, 0, 1, 1, 2], "depformer_dim": 16,
+        "depformer_num_heads": 2, "depformer_num_layers": 2,
+        "depformer_dim_feedforward": 32,
+        "depformer_low_rank_embeddings": 8,
+        "extra_heads_num_heads": 3, "extra_heads_dim": 2,
+        "moshi_name": "model.safetensors"})
+    args = argparse.Namespace(synthetic=False, quantize="q8_0",
+                              use_cache=True, model_dir=str(tmp_path))
+    cfg1, p1 = load_lm(args, config)
+    cache = tmp_path / "model.safetensors.q8_0.moshi-tpu"
+    assert cache.exists()
+    cfg2, p2 = load_lm(args, config)   # second load hits the cache
+    import jax
+    assert (jax.tree_util.tree_structure(p1) ==
+            jax.tree_util.tree_structure(p2))
+    a = jax.tree_util.tree_leaves(p1)[0]
+    b = jax.tree_util.tree_leaves(p2)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
