@@ -31,14 +31,13 @@ stays on host between the text and audio phases.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from moshi_tpu.config import MoshiConfig
-from moshi_tpu.nn.attention import init_kv_state
 from moshi_tpu.nn.layers import (demux_embedding, init_embedding, init_linear,
                                  init_rms_norm, linear, rms_norm,
                                  scaled_embedding)

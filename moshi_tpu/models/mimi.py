@@ -23,7 +23,6 @@ from dataclasses import dataclass, field
 import jax
 import jax.numpy as jnp
 
-from moshi_tpu import FRAME_SIZE
 from moshi_tpu.nn.conv import StreamingConv1d, StreamingConvTranspose1d
 from moshi_tpu.nn.seanet import SEANetConfig, SEANetDecoder, SEANetEncoder
 from moshi_tpu.nn.transformer import (TransformerConfig,

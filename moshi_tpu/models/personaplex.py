@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from moshi_tpu.models.lm import (LMConfig, lm_gen_step, temporal_forward,
-                                 depformer_generate)
+from moshi_tpu.models.lm import LMConfig, lm_gen_step, depformer_generate
 from moshi_tpu.nn.layers import linear, rms_norm
 from moshi_tpu.nn.transformer import transformer_forward
 

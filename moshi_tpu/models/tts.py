@@ -20,7 +20,7 @@ src/moshi.cpp:296-366:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

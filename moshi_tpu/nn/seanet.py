@@ -20,7 +20,7 @@ nn/conv.py).  Module layout keys mirror the checkpoint naming
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import jax

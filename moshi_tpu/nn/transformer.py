@@ -16,9 +16,7 @@ prebuilt-graph + input-slot idiom maps to jitting the caller.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
-
+from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 

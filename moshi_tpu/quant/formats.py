@@ -23,8 +23,7 @@ consumer) used for bring-up/CPU, and fused Pallas dequant+matmul kernels
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

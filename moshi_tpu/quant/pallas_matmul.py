@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from moshi_tpu.quant.formats import QK, QK_K, QuantTensor
+from moshi_tpu.quant.formats import QK, QuantTensor
 
 _TILE_O = 256        # output rows per grid program
 _CHUNK = 2048        # packed columns dequantized per inner step

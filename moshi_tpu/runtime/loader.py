@@ -19,7 +19,7 @@ Behavioral parity with the reference's two-phase WeightLoader
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

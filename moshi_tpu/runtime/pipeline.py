@@ -18,8 +18,6 @@ per-frame sync points the reference's design is bound by (SURVEY.md §7.3
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,14 +14,12 @@ across the `data` axis while weights/KV shard over `model`
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from moshi_tpu.models.lm import LMConfig, init_gen_state
 from moshi_tpu.runtime.pipeline import STSPipeline
 
 

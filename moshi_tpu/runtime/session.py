@@ -19,7 +19,6 @@ shared jitted programs — the TPU serving path).
 from __future__ import annotations
 
 from collections import deque
-from functools import partial
 from typing import Deque, List, Optional
 
 import jax
