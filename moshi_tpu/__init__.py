@@ -24,3 +24,28 @@ FRAME_RATE = 12.5      # reference: src/moshi/models/lm_default.h:4
 FRAME_SIZE = 1920      # SAMPLE_RATE / FRAME_RATE; reference: src/moshi.cpp:173-175
 
 from moshi_tpu.config import MoshiConfig, load_config  # noqa: E402,F401
+
+
+def __getattr__(name):  # lazy public API (avoids importing jax at pkg import)
+    import importlib
+    _API = {
+        "MimiModel": "moshi_tpu.models.mimi",
+        "MimiConfig": "moshi_tpu.models.mimi",
+        "LMConfig": "moshi_tpu.models.lm",
+        "STSPipeline": "moshi_tpu.runtime.pipeline",
+        "STTPipeline": "moshi_tpu.runtime.pipeline",
+        "TTSPipeline": "moshi_tpu.runtime.pipeline",
+        "LMGenerator": "moshi_tpu.runtime.session",
+        "MimiStreamer": "moshi_tpu.runtime.session",
+        "SessionPool": "moshi_tpu.runtime.serving",
+        "TTSModel": "moshi_tpu.models.tts",
+        "StateMachine": "moshi_tpu.models.state_machine",
+        "SentencePieceTokenizer": "moshi_tpu.tokenizer",
+        "QuantTensor": "moshi_tpu.quant.formats",
+        "quantize": "moshi_tpu.quant.formats",
+        "load_lm_params": "moshi_tpu.runtime.loader",
+        "load_mimi_params": "moshi_tpu.runtime.loader",
+    }
+    if name in _API:
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(name)
