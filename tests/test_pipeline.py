@@ -78,3 +78,23 @@ def test_tts_pipeline_with_machine(models):
                                offset=off)
     assert out["audio_out"].shape == (1, _mimi_cfg.seanet.hop_length * 2)
     assert mstate.end_step >= 0 or not mstate.is_empty() or True
+
+
+def test_sts_determinism_same_seed(models, rng):
+    import jax.numpy as jnp
+    mimi, mimi_params, lm_params = models
+    pipe = STSPipeline(mimi, _lm_cfg, temp=0.9, temp_text=0.9,
+                       top_k=8, top_k_text=8, mimi_dtype=jnp.float32)
+    frame = rng.normal(size=(1, pipe.frame_samples)).astype(np.float32) * 0.1
+
+    def run(seed):
+        state = pipe.init_state(1, jax.random.PRNGKey(seed))
+        toks = []
+        for _ in range(5):
+            out, state = pipe.step(mimi_params, lm_params, state, frame)
+            toks.append(np.asarray(out["audio_tokens"]))
+        return np.stack(toks)
+
+    a, b, c = run(11), run(11), run(12)
+    np.testing.assert_array_equal(a, b)      # same seed -> identical
+    assert (a != c).any()                    # different seed -> different
