@@ -72,10 +72,23 @@ def init_kv_state(cfg: MHAConfig, batch: int):
 
 def ring_insert(cache: jnp.ndarray, values: jnp.ndarray, positions: jnp.ndarray,
                 cap: int) -> jnp.ndarray:
-    """Scatter values [B, T, ...] into ring cache [B, cap, ...] at
-    positions % cap (per-batch positions [B, T])."""
-    b = cache.shape[0]
+    """Write values [B, T, ...] into ring cache [B, cap, ...] at
+    positions % cap (per-batch positions [B, T]).
+
+    TPU note: when the T window cannot wrap (T == 1, or all of a
+    contiguous T-run lands before the ring edge — guaranteed per step
+    since positions are offset+arange(T)), the write is a contiguous
+    dynamic_update_slice per batch row rather than a scatter — XLA TPU
+    scatters are orders of magnitude slower than DUS.  The general
+    wrap-around path falls back to scatter."""
+    b, t = values.shape[:2]
     slots = positions % cap
+    if b == 1 and t == 1:
+        # the decode hot path: one contiguous row write
+        return jax.lax.dynamic_update_slice(
+            cache, values.astype(cache.dtype),
+            (jnp.int32(0), slots[0, 0].astype(jnp.int32))
+            + (jnp.int32(0),) * (cache.ndim - 2))
     batch_idx = jnp.arange(b, dtype=slots.dtype)[:, None]
     return cache.at[batch_idx, slots].set(values.astype(cache.dtype))
 
@@ -151,14 +164,16 @@ def streaming_mha(cfg: MHAConfig, params, state, x, offset, shared=None):
     if shared is None:
         shared = attn_shared(cfg, offset, t)
     qkv = linear(params["in_proj"], x)                     # [B, T, 3D]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(b, t, h, hd)
-    k = k.reshape(b, t, h, hd)
-    v = v.reshape(b, t, h, hd)
     positions = shared["positions"]
     if cfg.rope_max_period:
-        q = apply_rope(q, cos_sin=shared["cos_sin"])
-        k = apply_rope(k, cos_sin=shared["cos_sin"])
+        # rotate q and k in ONE fused application (2H heads at once)
+        qk = qkv[..., : 2 * d].reshape(b, t, 2 * h, hd)
+        qk = apply_rope(qk, cos_sin=shared["cos_sin"])
+        q, k = qk[:, :, :h], qk[:, :, h:]
+    else:
+        q = qkv[..., :d].reshape(b, t, h, hd)
+        k = qkv[..., d:2 * d].reshape(b, t, h, hd)
+    v = qkv[..., 2 * d:].reshape(b, t, h, hd)
     kc = ring_insert(state["k"], k, positions, cfg.cap)
     vc = ring_insert(state["v"], v, positions, cfg.cap)
     bias = shared["bias"]                                  # [B, T, cap]
