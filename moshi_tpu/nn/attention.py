@@ -176,15 +176,23 @@ def streaming_mha(cfg: MHAConfig, params, state, x, offset, shared=None):
     v = qkv[..., 2 * d:].reshape(b, t, h, hd)
     kc = ring_insert(state["k"], k, positions, cfg.cap)
     vc = ring_insert(state["v"], v, positions, cfg.cap)
-    bias = shared["bias"]                                  # [B, T, cap]
-    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.bfloat16),
-                        kc.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-    scores = scores * (hd ** -0.5) + bias[:, None, :, :]
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs.astype(jnp.bfloat16),
-                     vc.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+    from moshi_tpu.quant.formats import pallas_enabled
+    if t == 1 and pallas_enabled():
+        # fused flash-decode kernel: scores+mask+softmax+AV in one call
+        from moshi_tpu.nn.pallas_attention import decode_attention
+        out = decode_attention(q[:, 0], kc, vc, offset,
+                               cap=cfg.cap, context=cfg.context)
+        out = out[:, None]                                 # [B, 1, H, hd]
+    else:
+        bias = shared["bias"]                              # [B, T, cap]
+        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.bfloat16),
+                            kc.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        scores = scores * (hd ** -0.5) + bias[:, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bshd->bthd", probs.astype(jnp.bfloat16),
+                         vc.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
     out = out.reshape(b, t, d).astype(x.dtype)
     y = linear(params["out_proj"], out)
     return y, {"k": kc, "v": vc}

@@ -1,0 +1,109 @@
+"""Fused ring-cache decode attention (Pallas, T=1).
+
+One kernel call per layer replaces the whole XLA chain (QK^T einsum,
+additive ring/window bias, softmax, AV einsum — ~12 ops): K/V cache
+chunks stream HBM->VMEM (pipelined by the grid), an online-softmax
+accumulator runs in VMEM scratch, and the ring-validity window mask
+(nn/attention.streaming_attn_bias semantics) is fused into the score
+pass as iota math.  On this hardware XLA op dispatch costs ~20 us/op at
+B=1 (BENCH_NOTES.md), so collapsing the chain matters more than FLOPs.
+
+Layout: cache [B, cap, H, hd]; per-(batch, chunk) grid program computes
+partial scores for `chunk` positions with a VPU broadcast-multiply +
+lane reduction (per-head matvecs would waste the MXU at M=1), and
+accumulates (m, l, acc) across the chunk axis of the grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _decode_attn_kernel(offset_ref, q_ref, k_ref, v_ref, o_ref,
+                        m_ref, l_ref, acc_ref, *, cap, context, chunk,
+                        scale):
+    ci = pl.program_id(1)
+    nchunks = pl.num_programs(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)                      # [H, hd]
+    k = k_ref[0].astype(jnp.float32)                      # [C, H, hd]
+    v = v_ref[0].astype(jnp.float32)
+    # scores: per-head matvec as broadcast-multiply + lane reduction
+    s = jnp.sum(k * q[None, :, :], axis=-1) * scale       # [C, H]
+    # ring/window validity for slots j = ci*chunk + arange(C):
+    #   delta = (offset - j) mod cap ; valid = delta < context and
+    #   offset - delta >= 0   (streaming_attn_bias, T = 1)
+    off = offset_ref[0]
+    j = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    delta = (off - j) % cap
+    valid = (delta < context) & (off - delta >= 0) & (j < cap)
+    s = jnp.where(valid, s, NEG)
+
+    m_prev = m_ref[:]                                     # [1, H]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0)[None, :])
+    corr = jnp.exp(m_prev - m_new)                        # [1, H]
+    p = jnp.exp(s - m_new)                                # [C, H]
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=0)[None, :]
+    acc_ref[:] = (acc_ref[:] * corr[0][:, None]
+                  + jnp.sum(p[:, :, None] * v, axis=0))   # [H, hd]
+    m_ref[:] = m_new
+
+    @pl.when(ci == nchunks - 1)
+    def _done():
+        o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "context", "interpret"))
+def decode_attention(q, kc, vc, offset, *, cap: int, context: int,
+                     interpret: bool = False):
+    """q: [B, H, hd] (post-rope); kc/vc: [B, cap, H, hd] (post-insert);
+    offset: [B] i32 (query position).  Returns [B, H, hd] f32."""
+    b, h, hd = q.shape
+    chunk = min(256, cap)  # VMEM: f32 intermediates are C*H*hd
+    nchunks = pl.cdiv(cap, chunk)
+    # pad the cache to a chunk multiple; padded slots have j >= cap,
+    # where (off - j) % cap still yields a delta — mask them via iota
+    pad = nchunks * chunk - cap
+    if pad:
+        kc = jnp.pad(kc, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vc = jnp.pad(vc, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    grid = (b, nchunks)
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_kernel, cap=cap, context=context,
+                          chunk=chunk, scale=hd ** -0.5),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1,), lambda bi, ci: (bi,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, hd), lambda bi, ci: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, h, hd), lambda bi, ci: (bi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, h, hd), lambda bi, ci: (bi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, hd), lambda bi, ci: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, h), jnp.float32),     # running max
+            pltpu.VMEM((1, h), jnp.float32),     # running sum
+            pltpu.VMEM((h, hd), jnp.float32),    # output accumulator
+        ],
+        interpret=interpret,
+    )(offset.astype(jnp.int32), q, kc, vc)
+    return out

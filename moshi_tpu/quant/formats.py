@@ -269,9 +269,14 @@ _PALLAS_ENABLED = False
 
 
 def enable_pallas(flag: bool = True):
-    """Switch qmatmul to the fused Pallas dequant+matmul kernels."""
+    """Switch the hot paths to fused Pallas kernels (dequant+matmul and
+    the decode attention kernel)."""
     global _PALLAS_ENABLED
     _PALLAS_ENABLED = flag
+
+
+def pallas_enabled() -> bool:
+    return _PALLAS_ENABLED
 
 
 def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
