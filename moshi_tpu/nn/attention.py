@@ -154,16 +154,19 @@ def attn_shared(cfg: MHAConfig, offset, t: int):
     return {"positions": positions, "cos_sin": cos_sin, "bias": bias}
 
 
-def streaming_mha(cfg: MHAConfig, params, state, x, offset, shared=None):
+def streaming_mha(cfg: MHAConfig, params, state, x, offset, shared=None,
+                  pre_norm_alpha=None):
     """x: [B, T, D], offset: [B] (position of x[:, 0]).
     Returns (y [B, T, D], new_state).  Caller advances offset by T.
     `shared` (from attn_shared) avoids recomputing rope angles/bias/
-    positions in every layer of a stack."""
+    positions in every layer of a stack; `pre_norm_alpha` fuses the
+    pre-attention rms norm into the qkv projection."""
     b, t, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
     if shared is None:
         shared = attn_shared(cfg, offset, t)
-    qkv = linear(params["in_proj"], x)                     # [B, T, 3D]
+    qkv = linear(params["in_proj"], x,
+                 pre_norm_alpha=pre_norm_alpha)            # [B, T, 3D]
     positions = shared["positions"]
     if cfg.rope_max_period:
         # rotate q and k in ONE fused application (2H heads at once)

@@ -20,8 +20,8 @@ def init_gating(key, dim: int, hidden: int, dtype=jnp.float32):
     }
 
 
-def gating_mlp(params, x, activation: str = "silu"):
-    h = linear(params["linear_in"], x)
+def gating_mlp(params, x, activation: str = "silu", pre_norm_alpha=None):
+    h = linear(params["linear_in"], x, pre_norm_alpha=pre_norm_alpha)
     gate, value = jnp.split(h, 2, axis=-1)
     if activation == "silu":
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype)

@@ -31,9 +31,11 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = False,
     return p
 
 
-def linear(params, x, out_dtype=None):
-    """y = x @ W.T + b.  Works with plain or QuantTensor weights."""
-    y = qmatmul(x, params["weight"], out_dtype=out_dtype or x.dtype)
+def linear(params, x, out_dtype=None, pre_norm_alpha=None):
+    """y = x @ W.T + b.  Works with plain or QuantTensor weights;
+    pre_norm_alpha fuses an rms pre-norm of x."""
+    y = qmatmul(x, params["weight"], out_dtype=out_dtype or x.dtype,
+                pre_norm_alpha=pre_norm_alpha)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(y.dtype)
     return y

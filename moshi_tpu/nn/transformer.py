@@ -102,21 +102,30 @@ def init_transformer_state(cfg: TransformerConfig, batch: int):
 
 def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
                       cross_kv=None, shared=None):
-    """One layer: x [B, T, D] -> (y, new_kv_state)."""
-    h = apply_norm(cfg.norm, params["norm1"], x)
-    attn, new_kv = streaming_mha(cfg.mha, params["self_attn"], kv_state, h,
-                                 offset, shared=shared)
+    """One layer: x [B, T, D] -> (y, new_kv_state).  With rms norms the
+    pre-norms fuse into the following projection kernels (the norm math
+    is identical either way — quant/formats.qmatmul)."""
+    fuse_rms = cfg.norm.startswith("rms_norm")
+    if fuse_rms:
+        attn, new_kv = streaming_mha(
+            cfg.mha, params["self_attn"], kv_state, x, offset,
+            shared=shared, pre_norm_alpha=params["norm1"]["alpha"])
+    else:
+        h = apply_norm(cfg.norm, params["norm1"], x)
+        attn, new_kv = streaming_mha(cfg.mha, params["self_attn"],
+                                     kv_state, h, offset, shared=shared)
     if cfg.use_layer_scale:
         attn = layer_scale(params["layer_scale_1"], attn)
     x = x + attn
     if cfg.cross_attention and cross_kv is not None:
         hc = apply_norm(cfg.norm_cross, params["norm_cross"], x)
         x = x + cross_mha(cfg.mha, params["cross_attention"], hc, cross_kv)
-    h2 = apply_norm(cfg.norm, params["norm2"], x)
-    if cfg.gating:
-        ffn = gating_mlp(params["gating"], h2, cfg.gating)
+    if cfg.gating and fuse_rms:
+        ffn = gating_mlp(params["gating"], x, cfg.gating,
+                         pre_norm_alpha=params["norm2"]["alpha"])
     else:
-        ffn = mlp_gelu(params, h2)
+        h2 = apply_norm(cfg.norm, params["norm2"], x)
+        ffn = gating_mlp(params["gating"], h2, cfg.gating) if cfg.gating             else mlp_gelu(params, h2)
     if cfg.use_layer_scale:
         ffn = layer_scale(params["layer_scale_2"], ffn)
     return x + ffn, new_kv

@@ -279,13 +279,24 @@ def pallas_enabled() -> bool:
     return _PALLAS_ENABLED
 
 
-def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
-    """y = x @ w.T for plain arrays or QuantTensors.  x: [..., I] -> [..., O]."""
+def _rms_pre_norm(x, alpha):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(ms + 1e-8) * alpha.astype(jnp.float32)
+
+
+def qmatmul(x: jnp.ndarray, w, out_dtype=None,
+            pre_norm_alpha=None) -> jnp.ndarray:
+    """y = x @ w.T for plain arrays or QuantTensors.  x: [..., I] -> [..., O].
+    `pre_norm_alpha` fuses an rms pre-norm of x (in-kernel on the Pallas
+    path; inline on the XLA path) — same math as nn.layers.rms_norm."""
     if isinstance(w, QuantTensor):
         if _PALLAS_ENABLED:
             from moshi_tpu.quant import pallas_matmul
-            y = pallas_matmul.qmatmul_pallas(x, w)
+            y = pallas_matmul.qmatmul_pallas(x, w, alpha=pre_norm_alpha)
         else:
+            if pre_norm_alpha is not None:
+                x = _rms_pre_norm(x, pre_norm_alpha)
             wd = dequantize(w, jnp.bfloat16)
             y = jax.lax.dot_general(
                 x.astype(jnp.bfloat16), wd,
@@ -293,6 +304,8 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
                 preferred_element_type=jnp.float32,
             )
     else:
+        if pre_norm_alpha is not None:
+            x = _rms_pre_norm(x, pre_norm_alpha)
         y = jax.lax.dot_general(
             x.astype(w.dtype) if w.dtype == jnp.bfloat16 else x, w,
             (((x.ndim - 1,), (1,)), ((), ())),

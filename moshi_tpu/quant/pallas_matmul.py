@@ -61,9 +61,20 @@ def _dot_t(x, w):
                                preferred_element_type=jnp.float32)
 
 
-def _q8_kernel(x_ref, q_ref, d_ref, o_ref):
+def _maybe_norm(x_ref, alpha_ref):
+    """Fused rms-norm of the activation row(s) (f32, eps 1e-8 — matches
+    nn/layers.rms_norm).  alpha_ref is None when no norm is fused."""
+    x = x_ref[:].astype(jnp.float32)
+    if alpha_ref is None:
+        return x
+    ms = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(ms + 1e-8) * alpha_ref[:].astype(jnp.float32)
+
+
+def _q8_kernel(x_ref, q_ref, d_ref, o_ref, *, alpha_ref=None):
     m, k = x_ref.shape
     chunk = min(_CHUNK, k)
+    xn = _maybe_norm(x_ref, alpha_ref).astype(jnp.bfloat16)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k, chunk):
         cs = min(chunk, k - c0)
@@ -71,14 +82,19 @@ def _q8_kernel(x_ref, q_ref, d_ref, o_ref):
         d = _expand_block_scales(
             d_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
         w = (q * d).astype(jnp.bfloat16)
-        acc += _dot_t(x_ref[:, c0:c0 + cs].astype(jnp.bfloat16), w)
+        acc += _dot_t(xn[:, c0:c0 + cs], w)
     o_ref[:] = acc
 
 
-def _q4_0_kernel(x_ref, q_ref, d_ref, o_ref):
+def _q8_kernel_norm(x_ref, alpha_ref, q_ref, d_ref, o_ref):
+    _q8_kernel(x_ref, q_ref, d_ref, o_ref, alpha_ref=alpha_ref)
+
+
+def _q4_0_kernel(x_ref, q_ref, d_ref, o_ref, *, alpha_ref=None):
     m, k = x_ref.shape
     k2 = k // 2
     chunk = min(_CHUNK, k2)
+    xn = _maybe_norm(x_ref, alpha_ref).astype(jnp.bfloat16)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k2, chunk):
         cs = min(chunk, k2 - c0)
@@ -90,17 +106,26 @@ def _q4_0_kernel(x_ref, q_ref, d_ref, o_ref):
         d_hi = _expand_block_scales(
             d_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
             .astype(jnp.float32), QK)
-        x_lo = x_ref[:, c0:c0 + cs].astype(jnp.bfloat16)
-        x_hi = x_ref[:, k2 + c0:k2 + c0 + cs].astype(jnp.bfloat16)
+        x_lo = xn[:, c0:c0 + cs]
+        x_hi = xn[:, k2 + c0:k2 + c0 + cs]
         acc += _dot_t(x_lo, (lo * d_lo).astype(jnp.bfloat16))
         acc += _dot_t(x_hi, (hi * d_hi).astype(jnp.bfloat16))
     o_ref[:] = acc
 
 
-def _q4_k_kernel(x_ref, xsum_ref, q_ref, es_ref, em_ref, o_ref):
+def _q4_0_kernel_norm(x_ref, alpha_ref, q_ref, d_ref, o_ref):
+    _q4_0_kernel(x_ref, q_ref, d_ref, o_ref, alpha_ref=alpha_ref)
+
+
+def _q4_k_kernel(x_ref, q_ref, es_ref, em_ref, o_ref, *,
+                 alpha_ref=None):
     m, k = x_ref.shape
     k2 = k // 2
     chunk = min(_CHUNK, k2)
+    xn = _maybe_norm(x_ref, alpha_ref)
+    # block sums of the (normed) activation for the mins correction
+    xs = jnp.sum(xn.reshape(m, k // QK, QK), axis=-1)
+    xn = xn.astype(jnp.bfloat16)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k2, chunk):
         cs = min(chunk, k2 - c0)
@@ -112,14 +137,17 @@ def _q4_k_kernel(x_ref, xsum_ref, q_ref, es_ref, em_ref, o_ref):
         s_hi = _expand_block_scales(
             es_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
             .astype(jnp.float32), QK)
-        x_lo = x_ref[:, c0:c0 + cs].astype(jnp.bfloat16)
-        x_hi = x_ref[:, k2 + c0:k2 + c0 + cs].astype(jnp.bfloat16)
+        x_lo = xn[:, c0:c0 + cs]
+        x_hi = xn[:, k2 + c0:k2 + c0 + cs]
         acc += _dot_t(x_lo, (lo * s_lo).astype(jnp.bfloat16))
         acc += _dot_t(x_hi, (hi * s_hi).astype(jnp.bfloat16))
     # mins: -sum_b em[:, b] * blocksum(x)[b]
-    acc -= _dot_t(xsum_ref[:].astype(jnp.float32),
-                  em_ref[:].astype(jnp.float32))
+    acc -= _dot_t(xs, em_ref[:].astype(jnp.float32))
     o_ref[:] = acc
+
+
+def _q4_k_kernel_norm(x_ref, alpha_ref, q_ref, es_ref, em_ref, o_ref):
+    _q4_k_kernel(x_ref, q_ref, es_ref, em_ref, o_ref, alpha_ref=alpha_ref)
 
 
 def _block_sums(x: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -128,8 +156,10 @@ def _block_sums(x: jnp.ndarray, block: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False):
-    """y = x @ W.T with W quantized.  x: [..., K] -> [..., O]."""
+def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
+                   interpret: bool = False):
+    """y = (rms_norm(x)*alpha if alpha else x) @ W.T with W quantized.
+    x: [..., K] -> [..., O].  `alpha` fuses the rms pre-norm in-kernel."""
     orig_shape = x.shape
     k = orig_shape[-1]
     x2 = x.reshape(-1, k)
@@ -145,64 +175,51 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, interpret: bool = False):
                            bytes_accessed=qt.nbytes + m * k * 4 + m * o * 4,
                            transcendentals=0)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    fuse = alpha is not None
+    norm_inputs = ()
+    norm_specs = []
+    if fuse:
+        norm_inputs = (alpha.reshape(1, k).astype(jnp.float32),)
+        norm_specs = [pl.BlockSpec((1, k), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+
+    def call(kernel, kernel_norm, w_inputs, w_specs):
+        return pl.pallas_call(
+            kernel_norm if fuse else kernel,
+            grid=grid,
+            in_specs=[x_spec] + norm_specs + w_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=params,
+            interpret=interpret,
+        )(x2, *norm_inputs, *w_inputs)
 
     if qt.fmt == "q8_0":
-        y = pl.pallas_call(
-            _q8_kernel,
-            grid=grid,
-            in_specs=[
-                x_spec,
-                pl.BlockSpec((tile, k), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
-            cost_estimate=cost,
-            compiler_params=params,
-            interpret=interpret,
-        )(x2, qt.q, qt.d)
+        y = call(_q8_kernel, _q8_kernel_norm, (qt.q, qt.d), [
+            pl.BlockSpec((tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ])
     elif qt.fmt == "q4_0":
-        y = pl.pallas_call(
-            _q4_0_kernel,
-            grid=grid,
-            in_specs=[
-                x_spec,
-                pl.BlockSpec((tile, k // 2), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
-            cost_estimate=cost,
-            compiler_params=params,
-            interpret=interpret,
-        )(x2, qt.q, qt.d)
+        y = call(_q4_0_kernel, _q4_0_kernel_norm, (qt.q, qt.d), [
+            pl.BlockSpec((tile, k // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ])
     elif qt.fmt == "q4_k":
         qt = qt.with_eff_scales()
-        xsum = _block_sums(x2.astype(jnp.float32), QK)     # [M, K/32]
-        y = pl.pallas_call(
-            _q4_k_kernel,
-            grid=grid,
-            in_specs=[
-                x_spec,
-                pl.BlockSpec((m, k // QK), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, k // 2), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
-            cost_estimate=cost,
-            compiler_params=params,
-            interpret=interpret,
-        )(x2, xsum, qt.q, qt.es, qt.em)
+        y = call(_q4_k_kernel, _q4_k_kernel_norm,
+                 (qt.q, qt.es, qt.em), [
+            pl.BlockSpec((tile, k // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k // QK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ])
     else:
         raise ValueError(qt.fmt)
     return y.reshape(orig_shape[:-1] + (o,))
