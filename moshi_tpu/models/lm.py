@@ -369,24 +369,21 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
     kv0 = init_transformer_state(dcfg, b)
     keys = jax.random.split(key, dep_q)
     step_w = _per_step_weights(cfg, dep)
+    # the text embedding (step 0's token input) is loop-invariant:
+    # compute it once outside the scan and select per step — cheaper than
+    # a lax.cond branch at this chip's per-op cost
+    text_emb = _depformer_text_embed(cfg, dep, text_token)  # [B, dd]
 
     def step(carry, xs):
         prev_token, kv = carry
         cb, k_cb, w = xs
         h = linear(w["in"], transformer_out)                # [B, dd]
-
-        def text_branch(_):
-            return _depformer_text_embed(cfg, dep, text_token)
-
-        def audio_branch(_):
-            e = scaled_embedding({"weight": w["emb"]["weight"]}, prev_token)
-            return linear(w["emb"]["low_rank"], e)
-
         if cfg.dep_q > 1:
-            tok_emb = jax.lax.cond(cb == 0, text_branch, audio_branch,
-                                   operand=None)
+            e = scaled_embedding({"weight": w["emb"]["weight"]}, prev_token)
+            audio_emb = linear(w["emb"]["low_rank"], e)
+            tok_emb = jnp.where(cb == 0, text_emb, audio_emb)
         else:
-            tok_emb = text_branch(None)
+            tok_emb = text_emb
         x = (h + tok_emb)[:, None, :]                       # [B, 1, dd]
         offset_b = jnp.full((b,), cb, jnp.int32)
         from moshi_tpu.nn.attention import attn_shared
