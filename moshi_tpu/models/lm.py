@@ -82,6 +82,7 @@ class LMConfig:
     extra_heads_dim: int = 2
     delay_steps: int = 0             # audio_delay * frame_rate
     personaplex: bool = False
+    kv_dtype: str = "bfloat16"       # KV ring storage (fp8 halves memory)
 
     # -- derived ---------------------------------------------------------
     @property
@@ -125,7 +126,8 @@ class LMConfig:
             num_layers=self.num_layers, hidden_dim=self.hidden_dim,
             context=self.context, causal=self.causal, norm="rms_norm_f32",
             gating="silu", rope_max_period=self.max_period,
-            cross_attention=self.cross_attention, norm_cross="layer_norm")
+            cross_attention=self.cross_attention, norm_cross="layer_norm",
+            kv_dtype=self.kv_dtype)
 
     @property
     def depformer(self) -> TransformerConfig:

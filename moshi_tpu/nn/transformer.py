@@ -45,13 +45,17 @@ class TransformerConfig:
     norm_cross: str = "layer_norm"     # cross-attn pre-norm (lm_default.h:34)
     bias_proj: bool = False            # attention projection biases
     bias_ffn: bool = False             # FFN biases (torch Linear default)
+    kv_dtype: str = "bfloat16"         # KV ring storage: bfloat16 | float8_e4m3fn
+                                       # (fp8 halves KV memory -> 2x sessions/chip)
 
     @property
     def mha(self) -> MHAConfig:
+        import jax.numpy as _jnp
         return MHAConfig(
             dim=self.dim, num_heads=self.num_heads, context=self.context,
             capacity=self.capacity, causal=self.causal,
-            rope_max_period=self.rope_max_period, bias_proj=self.bias_proj)
+            rope_max_period=self.rope_max_period, bias_proj=self.bias_proj,
+            kv_dtype=_jnp.dtype(self.kv_dtype))
 
 
 def _init_norm(cfg: TransformerConfig, dtype):

@@ -211,3 +211,27 @@ def test_text_audio_split_matches_fused(lm):
                                   np.asarray(out_s["sampled_text"]))
     np.testing.assert_array_equal(np.asarray(s1["cache"]),
                                   np.asarray(s2c["cache"]))
+
+
+def test_fp8_kv_cache():
+    cfg = LMConfig(
+        dim=32, num_heads=4, num_layers=2, hidden_dim=64, context=16,
+        card=32, n_q=2, dep_q=1, text_card=48, delays=(0, 0, 1),
+        depformer_dim=16, depformer_heads=2, depformer_layers=1,
+        depformer_hidden=32, depformer_low_rank=8,
+        kv_dtype="float8_e4m3fn")
+    params = init_lm_params(jax.random.PRNGKey(0), cfg)
+    state = init_gen_state(cfg, 1)
+    assert str(state["transformer"]["k"].dtype) == "float8_e4m3fn"
+    for _ in range(4):
+        out, state = lm_gen_step(cfg, params, state, temp=0.0, temp_text=0.0)
+    assert (np.asarray(out["audio"]) >= -2).all()
+    # fp8 state is half the bf16 KV footprint
+    bf16_cfg = LMConfig(
+        dim=32, num_heads=4, num_layers=2, hidden_dim=64, context=16,
+        card=32, n_q=2, dep_q=1, text_card=48, delays=(0, 0, 1),
+        depformer_dim=16, depformer_heads=2, depformer_layers=1,
+        depformer_hidden=32, depformer_low_rank=8)
+    s2 = init_gen_state(bf16_cfg, 1)
+    assert (state["transformer"]["k"].nbytes * 2 ==
+            s2["transformer"]["k"].nbytes)
