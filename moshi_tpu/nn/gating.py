@@ -21,6 +21,16 @@ def init_gating(key, dim: int, hidden: int, dtype=jnp.float32):
 
 
 def gating_mlp(params, x, activation: str = "silu", pre_norm_alpha=None):
+    from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
+    w_in = params["linear_in"]["weight"]
+    if (activation == "silu" and pallas_enabled()
+            and isinstance(w_in, QuantTensor)
+            and "bias" not in params["linear_in"]):
+        # fused GLU kernel: linear_in + split + silu + mult in one call
+        from moshi_tpu.quant.pallas_matmul import glu_matmul_pallas
+        hv = glu_matmul_pallas(x, w_in, alpha=pre_norm_alpha)
+        if hv is not None:
+            return linear(params["linear_out"], hv.astype(x.dtype))
     h = linear(params["linear_in"], x, pre_norm_alpha=pre_norm_alpha)
     gate, value = jnp.split(h, 2, axis=-1)
     if activation == "silu":

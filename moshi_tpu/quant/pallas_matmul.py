@@ -223,3 +223,151 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
     else:
         raise ValueError(qt.fmt)
     return y.reshape(orig_shape[:-1] + (o,))
+
+def _q8_dot(xn, q_ref, d_ref):
+    """Dequant-dot of a q8_0 weight tile against pre-cast bf16 xn."""
+    m, k = xn.shape
+    chunk = min(_CHUNK, k)
+    acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
+    for c0 in range(0, k, chunk):
+        cs = min(chunk, k - c0)
+        q = q_ref[:, c0:c0 + cs].astype(jnp.int32).astype(jnp.float32)
+        d = _expand_block_scales(
+            d_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
+        acc += _dot_t(xn[:, c0:c0 + cs], (q * d).astype(jnp.bfloat16))
+    return acc
+
+
+def _q4k_dot(xn, xs, q_ref, es_ref, em_ref):
+    """Dequant-dot of a q4_k weight tile; xs = 32-block sums of xn (f32)."""
+    m, k = xn.shape
+    k2 = k // 2
+    chunk = min(_CHUNK, k2)
+    acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
+    for c0 in range(0, k2, chunk):
+        cs = min(chunk, k2 - c0)
+        pi = q_ref[:, c0:c0 + cs].astype(jnp.int32)
+        lo = (pi & 15).astype(jnp.float32)
+        hi = ((pi >> 4) & 15).astype(jnp.float32)
+        s_lo = _expand_block_scales(
+            es_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
+        s_hi = _expand_block_scales(
+            es_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
+            .astype(jnp.float32), QK)
+        acc += _dot_t(xn[:, c0:c0 + cs], (lo * s_lo).astype(jnp.bfloat16))
+        acc += _dot_t(xn[:, k2 + c0:k2 + c0 + cs],
+                      (hi * s_hi).astype(jnp.bfloat16))
+    acc -= _dot_t(xs, em_ref[:].astype(jnp.float32))
+    return acc
+
+
+def _silu(x):
+    return x * (1.0 / (1.0 + jnp.exp(-x)))
+
+
+def _glu_q8_kernel(x_ref, alpha_ref, qg_ref, dg_ref, qv_ref, dv_ref, o_ref):
+    xn = _maybe_norm(x_ref, alpha_ref).astype(jnp.bfloat16)
+    g = _q8_dot(xn, qg_ref, dg_ref)
+    v = _q8_dot(xn, qv_ref, dv_ref)
+    o_ref[:] = _silu(g) * v
+
+
+def _glu_q8_kernel_nonorm(x_ref, qg_ref, dg_ref, qv_ref, dv_ref, o_ref):
+    _glu_q8_kernel(x_ref, None, qg_ref, dg_ref, qv_ref, dv_ref, o_ref)
+
+
+def _glu_q4k_kernel(x_ref, alpha_ref, qg_ref, esg_ref, emg_ref,
+                    qv_ref, esv_ref, emv_ref, o_ref):
+    xn32 = _maybe_norm(x_ref, alpha_ref)
+    m, k = xn32.shape
+    xs = jnp.sum(xn32.reshape(m, k // QK, QK), axis=-1)
+    xn = xn32.astype(jnp.bfloat16)
+    g = _q4k_dot(xn, xs, qg_ref, esg_ref, emg_ref)
+    v = _q4k_dot(xn, xs, qv_ref, esv_ref, emv_ref)
+    o_ref[:] = _silu(g) * v
+
+
+def _glu_q4k_kernel_nonorm(x_ref, qg_ref, esg_ref, emg_ref,
+                           qv_ref, esv_ref, emv_ref, o_ref):
+    _glu_q4k_kernel(x_ref, None, qg_ref, esg_ref, emg_ref,
+                    qv_ref, esv_ref, emv_ref, o_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def glu_matmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
+                      interpret: bool = False):
+    """Fused gating GLU: y = silu(x @ Wg.T) * (x @ Wv.T) where the fused
+    linear_in weight [2H, K] holds gate rows [0, H) and value rows
+    [H, 2H) (nn/gating.py).  One kernel call replaces linear_in + split +
+    silu + multiply.  Supports q8_0 / q4_k (q4_0 falls back to the
+    two-call path).  Returns [..., H] f32."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    o2 = qt.q.shape[0]
+    h = o2 // 2
+    tile = min(_TILE_O, h)
+    if h % tile or qt.fmt not in ("q8_0", "q4_k"):
+        return None  # caller falls back
+    nblocks = h // tile
+    grid = (nblocks,)
+    x_spec = pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((m, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    fuse = alpha is not None
+    norm_inputs = (alpha.reshape(1, k).astype(jnp.float32),) if fuse else ()
+    norm_specs = ([pl.BlockSpec((1, k), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)] if fuse else [])
+    cost = pl.CostEstimate(flops=2 * m * k * o2,
+                           bytes_accessed=qt.nbytes + m * k * 4 + m * h * 4,
+                           transcendentals=m * h)
+
+    def wspecs(cols, blocks):
+        # gate tile i, value tile i + nblocks (value rows start at h)
+        return [
+            pl.BlockSpec((tile, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, blocks), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ], [
+            pl.BlockSpec((tile, cols), lambda i: (i + nblocks, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, blocks), lambda i: (i + nblocks, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    if qt.fmt == "q8_0":
+        gspec, vspec = wspecs(k, k // QK)
+        y = pl.pallas_call(
+            _glu_q8_kernel if fuse else _glu_q8_kernel_nonorm,
+            grid=grid,
+            in_specs=[x_spec] + norm_specs + gspec + vspec,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((m, h), jnp.float32),
+            cost_estimate=cost, compiler_params=params,
+            interpret=interpret,
+        )(x2, *norm_inputs, qt.q, qt.d, qt.q, qt.d)
+    else:
+        qt = qt.with_eff_scales()
+        # q4_k needs es AND em per half: specs are (q, es, em) x2
+        def w3(idx0):
+            return [
+                pl.BlockSpec((tile, k // 2), lambda i, idx0=idx0: (i + idx0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, k // QK), lambda i, idx0=idx0: (i + idx0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, k // QK), lambda i, idx0=idx0: (i + idx0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        y = pl.pallas_call(
+            _glu_q4k_kernel if fuse else _glu_q4k_kernel_nonorm,
+            grid=grid,
+            in_specs=[x_spec] + norm_specs + w3(0) + w3(nblocks),
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((m, h), jnp.float32),
+            cost_estimate=cost, compiler_params=params,
+            interpret=interpret,
+        )(x2, *norm_inputs, qt.q, qt.es, qt.em, qt.q, qt.es, qt.em)
+    return y.reshape(orig_shape[:-1] + (h,))

@@ -41,3 +41,49 @@ def test_pallas_nonsquare(rng):
     wd = np.asarray(dequantize(qt, jnp.float32))
     ref = x @ wd.T
     np.testing.assert_allclose(y, ref, rtol=0.05, atol=0.5)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k"])
+@pytest.mark.parametrize("with_norm", [False, True])
+def test_glu_kernel_matches_reference(rng, fmt, with_norm):
+    import jax
+    from moshi_tpu.quant.pallas_matmul import glu_matmul_pallas
+    k, h = 512, 512
+    w = rng.normal(size=(2 * h, k)).astype(np.float32)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    alpha = rng.normal(size=(k,)).astype(np.float32) if with_norm else None
+    qt = quantize(w, fmt)
+    y = glu_matmul_pallas(jnp.asarray(x), qt,
+                          alpha=None if alpha is None else jnp.asarray(alpha),
+                          interpret=True)
+    assert y is not None
+    y = np.asarray(y)
+    # reference path
+    xf = x.astype(np.float32)
+    if alpha is not None:
+        ms = (xf ** 2).mean(-1, keepdims=True)
+        xf = xf / np.sqrt(ms + 1e-8) * alpha
+    xb = np.asarray(jnp.asarray(xf).astype(jnp.bfloat16).astype(jnp.float32))
+    wd = np.asarray(dequantize(qt, jnp.bfloat16).astype(jnp.float32))
+    full = xb @ wd.T
+    g, v = full[:, :h], full[:, h:]
+    ref = (g / (1 + np.exp(-g))) * v
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.03, rel
+
+
+def test_norm_fused_matmul_matches(rng):
+    from moshi_tpu.quant.pallas_matmul import qmatmul_pallas
+    k, o = 512, 256
+    w = rng.normal(size=(o, k)).astype(np.float32)
+    x = rng.normal(size=(2, k)).astype(np.float32)
+    alpha = rng.normal(size=(k,)).astype(np.float32)
+    qt = quantize(w, "q4_k")
+    y = np.asarray(qmatmul_pallas(jnp.asarray(x), qt,
+                                  alpha=jnp.asarray(alpha), interpret=True))
+    xf = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-8) * alpha
+    xb = np.asarray(jnp.asarray(xf).astype(jnp.bfloat16).astype(jnp.float32))
+    wd = np.asarray(dequantize(qt, jnp.bfloat16).astype(jnp.float32))
+    ref = xb @ wd.T
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.03, rel
