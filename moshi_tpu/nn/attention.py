@@ -146,11 +146,14 @@ def attn_shared(cfg: MHAConfig, offset, t: int):
     """Per-step quantities shared by every layer of a stack (the
     reference computes attn_bias + rope embedding once per transformer,
     not per layer: transformer.h:1150-1213): positions, rope cos/sin,
-    additive bias."""
+    additive bias.  The bias is skipped when the fused decode-attention
+    kernel will run (it computes the mask in-kernel)."""
+    from moshi_tpu.quant.formats import pallas_enabled
     positions = offset[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     cos_sin = (rope_angles(positions, cfg.head_dim, cfg.rope_max_period)
                if cfg.rope_max_period else None)
-    bias = streaming_attn_bias(offset, t, cfg.cap, cfg.context)
+    bias = (None if (t == 1 and pallas_enabled())
+            else streaming_attn_bias(offset, t, cfg.cap, cfg.context))
     return {"positions": positions, "cos_sin": cos_sin, "bias": bias}
 
 
