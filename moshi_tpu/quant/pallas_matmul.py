@@ -55,6 +55,19 @@ def _expand_block_scales(s, block: int):
                                preferred_element_type=jnp.float32)
 
 
+def _block_sums_mxu(x, block: int):
+    """[M, K] -> [M, K/block] per-block sums via an iota 0/1 contraction
+    (Mosaic rejects the reshape-based reduction)."""
+    m, k = x.shape
+    nb = k // block
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
+    e = (cols // block == rows).astype(jnp.float32)
+    return jax.lax.dot_general(x.astype(jnp.float32), e,
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _dot_t(x, w):
     """[M, C] x [TO, C] -> [M, TO] (f32 accum)."""
     return jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
@@ -124,7 +137,7 @@ def _q4_k_kernel(x_ref, q_ref, es_ref, em_ref, o_ref, *,
     chunk = min(_CHUNK, k2)
     xn = _maybe_norm(x_ref, alpha_ref)
     # block sums of the (normed) activation for the mins correction
-    xs = jnp.sum(xn.reshape(m, k // QK, QK), axis=-1)
+    xs = _block_sums_mxu(xn, QK)
     xn = xn.astype(jnp.bfloat16)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k2, chunk):
@@ -279,8 +292,7 @@ def _glu_q8_kernel_nonorm(x_ref, qg_ref, dg_ref, qv_ref, dv_ref, o_ref):
 def _glu_q4k_kernel(x_ref, alpha_ref, qg_ref, esg_ref, emg_ref,
                     qv_ref, esv_ref, emv_ref, o_ref):
     xn32 = _maybe_norm(x_ref, alpha_ref)
-    m, k = xn32.shape
-    xs = jnp.sum(xn32.reshape(m, k // QK, QK), axis=-1)
+    xs = _block_sums_mxu(xn32, QK)
     xn = xn32.astype(jnp.bfloat16)
     g = _q4k_dot(xn, xs, qg_ref, esg_ref, emg_ref)
     v = _q4k_dot(xn, xs, qv_ref, esv_ref, emv_ref)
