@@ -72,3 +72,20 @@ def test_pool_full(pool):
         pool.attach(f"s{pool.active}")
     with pytest.raises(RuntimeError):
         pool.attach("overflow")
+
+
+def test_memory_sizing():
+    from moshi_tpu.runtime.memory import (hbm_bytes, kv_bytes_per_session,
+                                          suggest_context, suggest_sessions)
+    from moshi_tpu.models.lm import LMConfig
+    cfg = LMConfig()  # 7B: 32L x 3000 x 32h x 128d x2 (k+v) bf16
+    per = kv_bytes_per_session(cfg)
+    assert per == 32 * 3000 * 32 * 128 * 2 * 2
+    # q4_k 7B weights ~4.3 GB; 16 GB chip
+    w = int(4.3e9)
+    n = suggest_sessions(cfg, w)
+    assert n >= 5
+    cfg8 = LMConfig(kv_dtype="float8_e4m3fn")
+    assert suggest_sessions(cfg8, w) >= 2 * n - 2
+    ctx = suggest_context(cfg, w, sessions=16)
+    assert 0 < ctx <= cfg.context
