@@ -33,8 +33,11 @@ def main():
     ap.add_argument("--fmt", default="q4_k", choices=["q4_k", "q8_0", "none"])
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent sessions (continuous-batching throughput)")
-    ap.add_argument("--pallas", action="store_true",
-                    help="use fused Pallas dequant+matmul kernels")
+    ap.add_argument("--pallas", dest="pallas", action="store_true",
+                    default=True,
+                    help="use the fused Pallas kernels (default)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false",
+                    help="pure-XLA dequant path")
     ap.add_argument("--profile", default=None,
                     help="write a jax profiler trace to this directory")
     args = ap.parse_args()
@@ -55,9 +58,11 @@ def main():
     from moshi_tpu.nn.seanet import SEANetConfig
     from moshi_tpu.runtime.synth import synth_lm_params
 
-    if args.pallas:
+    if args.pallas and jax.default_backend() != "cpu":
         from moshi_tpu.quant.formats import enable_pallas
         enable_pallas(True)
+    else:
+        args.pallas = False
 
     fmt = None if args.fmt == "none" else args.fmt
     if args.small:
