@@ -116,8 +116,22 @@ def main():
             jax.block_until_ready(out["audio"])
             return state
 
-    # warmup / compile
-    for _ in range(args.warmup):
+    # warmup / compile — if the fused-kernel path fails to compile on
+    # this backend, fall back to the pure-XLA path rather than dying
+    try:
+        state = one_frame(state)
+    except Exception as e:
+        if not args.pallas:
+            raise
+        import sys
+        print(f"pallas path failed ({type(e).__name__}); "
+              f"falling back to XLA", file=sys.stderr)
+        from moshi_tpu.quant.formats import enable_pallas
+        enable_pallas(False)
+        args.pallas = False
+        jax.clear_caches()
+        state = one_frame(state)
+    for _ in range(args.warmup - 1):
         state = one_frame(state)
 
     lat = []
