@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
-def _decode_attn_kernel(offset_ref, q_ref, k_ref, v_ref, o_ref,
+def _decode_attn_kernel(offset_ref, offmod_ref, q_ref, k_ref, v_ref, o_ref,
                         m_ref, l_ref, acc_ref, *, cap, context, chunk,
                         scale):
     ci = pl.program_id(1)
@@ -45,10 +45,14 @@ def _decode_attn_kernel(offset_ref, q_ref, k_ref, v_ref, o_ref,
     s = jnp.sum(k * q[None, :, :], axis=-1) * scale       # [C, H]
     # ring/window validity for slots j = ci*chunk + arange(C):
     #   delta = (offset - j) mod cap ; valid = delta < context and
-    #   offset - delta >= 0   (streaming_attn_bias, T = 1)
+    #   offset - delta >= 0   (streaming_attn_bias, T = 1).
+    # The mod is hoisted to a host-side scalar (offmod = offset % cap):
+    # vectorized integer modulo by a non-power-of-2 cap explodes Mosaic
+    # compile time; delta = r - j (+cap when j > r) is sub/select math.
     off = offset_ref[0]
+    r = offmod_ref[0]
     j = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    delta = (off - j) % cap
+    delta = jnp.where(j > r, r - j + cap, r - j)
     valid = (delta < context) & (off - delta >= 0) & (j < cap)
     s = jnp.where(valid, s, NEG)
 
@@ -89,6 +93,8 @@ def decode_attention(q, kc, vc, offset, *, cap: int, context: int,
         in_specs=[
             pl.BlockSpec((1,), lambda bi, ci: (bi,),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda bi, ci: (bi,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, hd), lambda bi, ci: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, h, hd), lambda bi, ci: (bi, ci, 0, 0),
@@ -105,5 +111,5 @@ def decode_attention(q, kc, vc, offset, *, cap: int, context: int,
             pltpu.VMEM((h, hd), jnp.float32),    # output accumulator
         ],
         interpret=interpret,
-    )(offset.astype(jnp.int32), q, kc, vc)
+    )(offset.astype(jnp.int32), (offset % cap).astype(jnp.int32), q, kc, vc)
     return out
