@@ -135,6 +135,17 @@ def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
     return x + ffn, new_kv
 
 
+# layer-scan unroll factor: >1 trades compile time for fewer sequential
+# loop iterations (set via set_scan_unroll; perf experiments showed XLA
+# loop overhead can dominate B=1 decode on some runtimes)
+SCAN_UNROLL = 1
+
+
+def set_scan_unroll(n: int):
+    global SCAN_UNROLL
+    SCAN_UNROLL = max(int(n), 1)
+
+
 def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
                         cross_kv=None):
     """Run the full stack via lax.scan over stacked layer params.
@@ -149,18 +160,20 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
     # reference's per-stack attn_bias + rope embedding)
     from moshi_tpu.nn.attention import attn_shared
     shared = attn_shared(cfg.mha, offset, x.shape[1])
+    unroll = SCAN_UNROLL
     if cross_kv is None:
         def body(h, xs):
             lp, kv_l = xs
             return transformer_layer(cfg, lp, kv_l, h, offset, None,
                                      shared=shared)
-        y, new_kv = jax.lax.scan(body, x, (layers, kv))
+        y, new_kv = jax.lax.scan(body, x, (layers, kv), unroll=unroll)
     else:
         def body(h, xs):
             lp, kv_l, ckv = xs
             return transformer_layer(cfg, lp, kv_l, h, offset, ckv,
                                      shared=shared)
-        y, new_kv = jax.lax.scan(body, x, (layers, kv, cross_kv))
+        y, new_kv = jax.lax.scan(body, x, (layers, kv, cross_kv),
+                                 unroll=unroll)
     return y, new_kv
 
 
