@@ -38,8 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from moshi_tpu.quant.formats import QK, QuantTensor
 
-_TILE_O = 256        # output rows per grid program
-_CHUNK = 2048        # packed columns dequantized per inner step
+_TILE_O = 512        # output rows per grid program (fewer, bigger
+                     # programs: per-program overhead dominates at M=1)
+_CHUNK = 1024        # packed columns dequantized per inner step (VMEM cap)
+
+
+def _pick_tile(o: int) -> int:
+    """Largest preferred tile dividing O (fewer, bigger grid programs —
+    per-program overhead dominates at M=1)."""
+    for t in (_TILE_O, 256, 128, 64, 32):
+        if t <= o and o % t == 0:
+            return t
+    return o
 
 
 def _expand_block_scales(s, block: int):
@@ -178,8 +188,7 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     o = qt.q.shape[0]
-    tile = min(_TILE_O, o)
-    assert o % tile == 0, f"O={o} not divisible by tile {tile}"
+    tile = _pick_tile(o)
     grid = (o // tile,)
     x_spec = pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((m, tile), lambda i: (0, i),
@@ -319,7 +328,7 @@ def glu_matmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
     m = x2.shape[0]
     o2 = qt.q.shape[0]
     h = o2 // 2
-    tile = min(_TILE_O, h)
+    tile = _pick_tile(h)
     if h % tile or qt.fmt not in ("q8_0", "q4_k"):
         return None  # caller falls back
     nblocks = h // tile
