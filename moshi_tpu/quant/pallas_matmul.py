@@ -38,9 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from moshi_tpu.quant.formats import QK, QuantTensor
 
-_TILE_O = 512        # output rows per grid program (fewer, bigger
+_TILE_O = 1024       # output rows per grid program (fewer, bigger
                      # programs: per-program overhead dominates at M=1)
-_CHUNK = 1024        # packed columns dequantized per inner step (VMEM cap)
+_CHUNK = 512         # packed columns dequantized per inner step (VMEM cap)
 
 
 def _pick_tile(o: int) -> int:
