@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--fmt", default="q4_k", choices=["q4_k", "q8_0", "none"])
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent sessions (continuous-batching throughput)")
+    ap.add_argument("--kv-dtype", default="bfloat16",
+                    choices=["bfloat16", "float8_e4m3fn"],
+                    help="KV-ring storage dtype (fp8 halves KV memory)")
     ap.add_argument("--pallas", dest="pallas", action="store_true",
                     default=True,
                     help="use the fused Pallas kernels (default)")
@@ -80,7 +83,8 @@ def main():
         frame_samples = mimi_cfg.seanet.hop_length * 2
     else:
         cfg = LMConfig(delays=(0, 0, 1, 1, 1, 1, 1, 1, 1, 0,
-                               1, 1, 1, 1, 1, 1, 1))  # moshi 7B
+                               1, 1, 1, 1, 1, 1, 1),
+                       kv_dtype=args.kv_dtype)  # moshi 7B
         mimi_cfg = MimiConfig(n_q=16)
         frame_samples = 1920
 
@@ -166,6 +170,7 @@ def main():
     if args.batch > 1:
         result["metric"] += f"_b{args.batch}"
         result["sessions"] = args.batch
+        result["kv_dtype"] = args.kv_dtype
         result["session_frames_per_sec"] = round(fps * args.batch, 2)
     print(json.dumps(result))
 
