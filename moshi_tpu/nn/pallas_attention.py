@@ -29,6 +29,7 @@ NEG = -1e9
 def _decode_attn_kernel(offset_ref, offmod_ref, q_ref, k_ref, v_ref, o_ref,
                         m_ref, l_ref, acc_ref, *, cap, context, chunk,
                         scale):
+    bi = pl.program_id(0)
     ci = pl.program_id(1)
     nchunks = pl.num_programs(1)
 
@@ -49,8 +50,8 @@ def _decode_attn_kernel(offset_ref, offmod_ref, q_ref, k_ref, v_ref, o_ref,
     # The mod is hoisted to a host-side scalar (offmod = offset % cap):
     # vectorized integer modulo by a non-power-of-2 cap explodes Mosaic
     # compile time; delta = r - j (+cap when j > r) is sub/select math.
-    off = offset_ref[0]
-    r = offmod_ref[0]
+    off = offset_ref[bi]
+    r = offmod_ref[bi]
     j = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     delta = jnp.where(j > r, r - j + cap, r - j)
     valid = (delta < context) & (off - delta >= 0) & (j < cap)
@@ -91,9 +92,11 @@ def decode_attention(q, kc, vc, offset, *, cap: int, context: int,
                           chunk=chunk, scale=hd ** -0.5),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda bi, ci: (bi,),
+            # whole [B] scalar vectors in SMEM (rank-1 blocks must cover
+            # the full array); kernels index by program_id(0)
+            pl.BlockSpec((b,), lambda bi, ci: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda bi, ci: (bi,),
+            pl.BlockSpec((b,), lambda bi, ci: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, hd), lambda bi, ci: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
