@@ -39,11 +39,14 @@ def _decode_attn_kernel(offset_ref, offmod_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)                      # [H, hd]
-    k = k_ref[0].astype(jnp.float32)                      # [C, H, hd]
-    v = v_ref[0].astype(jnp.float32)
+    # bf16 intermediates: keep the [C, H, hd] tensors half-width so the
+    # chunk working set fits VMEM (f32 copies overflow at fp8/B>1)
+    q = q_ref[0].astype(jnp.bfloat16)                     # [H, hd]
+    k = k_ref[0].astype(jnp.bfloat16)                     # [C, H, hd]
+    v = v_ref[0].astype(jnp.bfloat16)
     # scores: per-head matvec as broadcast-multiply + lane reduction
-    s = jnp.sum(k * q[None, :, :], axis=-1) * scale       # [C, H]
+    s = jnp.sum((k * q[None, :, :]).astype(jnp.float32),
+                axis=-1) * scale                          # [C, H]
     # ring/window validity for slots j = ci*chunk + arange(C):
     #   delta = (offset - j) mod cap ; valid = delta < context and
     #   offset - delta >= 0   (streaming_attn_bias, T = 1).
@@ -63,7 +66,8 @@ def _decode_attn_kernel(offset_ref, offmod_ref, q_ref, k_ref, v_ref, o_ref,
     p = jnp.exp(s - m_new)                                # [C, H]
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=0)[None, :]
     acc_ref[:] = (acc_ref[:] * corr[0][:, None]
-                  + jnp.sum(p[:, :, None] * v, axis=0))   # [H, hd]
+                  + jnp.sum((p.astype(jnp.bfloat16)[:, :, None]
+                             * v).astype(jnp.float32), axis=0))  # [H, hd]
     m_ref[:] = m_new
 
     @pl.when(ci == nchunks - 1)

@@ -87,3 +87,27 @@ def test_norm_fused_matmul_matches(rng):
     ref = xb @ wd.T
     rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
     assert rel < 0.03, rel
+
+
+def test_decode_attention_matches_oracle(rng):
+    from moshi_tpu.nn.pallas_attention import decode_attention
+    from moshi_tpu.nn.attention import streaming_attn_bias
+    for cap, ctx, off in [(16, 16, 5), (16, 8, 12), (16, 16, 40),
+                          (300, 250, 123)]:
+        b, h, hd = 2, 4, 128
+        q = rng.normal(size=(b, h, hd)).astype(np.float32)
+        kc = rng.normal(size=(b, cap, h, hd)).astype(np.float32)
+        vc = rng.normal(size=(b, cap, h, hd)).astype(np.float32)
+        offs = np.asarray([off, max(off - 3, 0)], np.int32)
+        out = np.asarray(decode_attention(
+            jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+            jnp.asarray(offs), cap=cap, context=ctx, interpret=True))
+        bias = np.asarray(streaming_attn_bias(jnp.asarray(offs), 1, cap, ctx))
+        s = (np.einsum("bhd,bchd->bch", q, kc) / np.sqrt(hd)
+             + bias[:, 0][:, :, None])
+        p = np.exp(s - s.max(1, keepdims=True))
+        p /= p.sum(1, keepdims=True)
+        ref = np.einsum("bch,bchd->bhd", p, vc)
+        # bf16 in-kernel intermediates: ~0.5% relative accuracy
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert rel < 0.02, (cap, ctx, off, rel)
