@@ -65,9 +65,11 @@ def _decode_attn_kernel(offset_ref, offmod_ref, q_ref, k_ref, v_ref, o_ref,
     corr = jnp.exp(m_prev - m_new)                        # [1, H]
     p = jnp.exp(s - m_new)                                # [C, H]
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=0)[None, :]
+    # note: insert the minor dim while still f32 (Mosaic: sub-32-bit
+    # minor-dim insertion unsupported), then cast
+    pb = p[:, :, None].astype(jnp.bfloat16)               # [C, H, 1]
     acc_ref[:] = (acc_ref[:] * corr[0][:, None]
-                  + jnp.sum((p.astype(jnp.bfloat16)[:, :, None]
-                             * v).astype(jnp.float32), axis=0))  # [H, hd]
+                  + jnp.sum((pb * v).astype(jnp.float32), axis=0))  # [H, hd]
     m_ref[:] = m_new
 
     @pl.when(ci == nchunks - 1)
