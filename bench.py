@@ -61,6 +61,10 @@ def main():
     from moshi_tpu.nn.seanet import SEANetConfig
     from moshi_tpu.runtime.synth import synth_lm_params
 
+    if args.batch > 2 and "--pallas" not in __import__("sys").argv:
+        # the fused kernels are shaped for M<=2 decode; larger session
+        # batches measure faster on the XLA path (BENCH_NOTES.md)
+        args.pallas = False
     if args.pallas and jax.default_backend() != "cpu":
         from moshi_tpu.quant.formats import enable_pallas
         enable_pallas(True)
