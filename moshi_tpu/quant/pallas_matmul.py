@@ -44,9 +44,12 @@ _CHUNK = 512         # packed columns dequantized per inner step (VMEM cap)
 
 
 def _pick_tile(o: int) -> int:
-    """Largest preferred tile dividing O (fewer, bigger grid programs —
-    per-program overhead dominates at M=1)."""
-    for t in (_TILE_O, 256, 128, 64, 32):
+    """Largest sublane-aligned tile dividing O (fewer, bigger grid
+    programs — per-program overhead dominates at M=1).  Non-power-of-2
+    candidates cover awkward dims (text_linear 32000 -> 800, gating
+    8448 -> 704)."""
+    for t in (_TILE_O, 896, 800, 768, 704, 640, 512, 448, 384, 320,
+              256, 128, 64, 32):
         if t <= o and o % t == 0:
             return t
     return o
