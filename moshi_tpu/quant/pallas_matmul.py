@@ -48,8 +48,9 @@ def _pick_tile(o: int) -> int:
     programs — per-program overhead dominates at M=1).  Non-power-of-2
     candidates cover awkward dims (text_linear 32000 -> 800, gating
     8448 -> 704)."""
-    for t in (_TILE_O, 896, 800, 768, 704, 640, 512, 448, 384, 320,
-              256, 128, 64, 32):
+    # the tile is the OUTPUT block's lane dim: must be a multiple of 128
+    # (or the whole array for tiny dims)
+    for t in (_TILE_O, 896, 768, 640, 512, 384, 256, 128):
         if t <= o and o % t == 0:
             return t
     return o
