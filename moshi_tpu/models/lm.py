@@ -354,6 +354,80 @@ def _per_step_weights(cfg: LMConfig, dep):
     return xs
 
 
+def _can_use_dep_megakernel(cfg: LMConfig, dep, b: int) -> bool:
+    """Whole-layer depformer megakernel preconditions: pallas on, B=1,
+    no rope, rms norms, q4_k weights without biases."""
+    from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
+    if not (pallas_enabled() and b == 1):
+        return False
+    if cfg.depformer.rope_max_period or not cfg.depformer.gating:
+        return False
+    lay = dep["layers"]
+    leaves = [lay["self_attn"]["in_proj"], lay["self_attn"]["out_proj"],
+              lay["gating"]["linear_in"], lay["gating"]["linear_out"]]
+    for lf in leaves:
+        w = lf.get("weight")
+        if not (isinstance(w, QuantTensor) and w.fmt == "q4_k"):
+            return False
+        if "bias" in lf:
+            return False
+    return True
+
+
+def _depformer_generate_megakernel(cfg: LMConfig, params, transformer_out,
+                                   text_token, keys, step_w,
+                                   temp: float, top_k: int):
+    """dep_q-step scan whose body runs the WHOLE 6-layer depformer in a
+    single pallas launch (nn/pallas_depformer.py dep_full_step): per-frame
+    depformer launches drop from ~60 XLA ops/step to ~6 kernels total.
+    KV rings are flat [L, cap, dd] (head-major lanes)."""
+    from moshi_tpu.nn.pallas_depformer import dep_full_step
+    dep = params["depformer"]
+    dcfg = cfg.depformer
+    dep_q = cfg.runtime_dep_q
+    dd = dcfg.dim
+    cap = dcfg.mha.cap
+    nl = dcfg.num_layers
+    text_emb = _depformer_text_embed(cfg, dep, text_token)
+    kv0 = (jnp.zeros((nl, cap, dd), jnp.bfloat16),
+           jnp.zeros((nl, cap, dd), jnp.bfloat16))
+    lay = dep["layers"]
+
+    def step(carry, xs):
+        prev_token, (kfl, vfl) = carry
+        cb, k_cb, w = xs
+        h = linear(w["in"], transformer_out)                # [1, dd]
+        if cfg.dep_q > 1:
+            e = scaled_embedding({"weight": w["emb"]["weight"]}, prev_token)
+            audio_emb = linear(w["emb"]["low_rank"], e)
+            tok_emb = jnp.where(cb == 0, text_emb, audio_emb)
+        else:
+            tok_emb = text_emb
+        hh = (h + tok_emb).astype(jnp.float32)              # [1, dd]
+        weights = {
+            "qkv": w["attn"]["in_proj"]["weight"],          # [L, 3dd, dd]
+            "out": w["attn"]["out_proj"]["weight"],
+            "glu": w["gating"]["linear_in"]["weight"],
+            "lout": w["gating"]["linear_out"]["weight"],
+            "n1": lay["norm1"]["alpha"], "n2": lay["norm2"]["alpha"],
+        }
+        y, k_new, v_new = dep_full_step(
+            hh, kfl, vfl, cb, weights, cap=cap, heads=dcfg.num_heads,
+            nlayers=nl)
+        logits = linear(w["linears"], y).astype(jnp.float32)  # [1, card]
+        token = sample_token(logits, k_cb, temp, top_k)        # [1]
+        return (token, (k_new, v_new)), token
+
+    xs = {"in": step_w["in"], "attn": step_w["attn"],
+          "gating": step_w["gating"], "linears": step_w["linears"]}
+    if cfg.dep_q > 1:
+        xs["emb"] = step_w["emb"]
+    (_, _), tokens = jax.lax.scan(
+        step, (text_token, kv0),
+        (jnp.arange(dep_q, dtype=jnp.int32), keys, xs))
+    return jnp.moveaxis(tokens, 0, 1)                       # [B, dep_q]
+
+
 def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
                        key, temp: float, top_k: int):
     """Generate dep_q audio tokens for one frame.
@@ -368,9 +442,13 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
     dcfg = cfg.depformer
     dep_q = cfg.runtime_dep_q
     b = transformer_out.shape[0]
-    kv0 = init_transformer_state(dcfg, b)
     keys = jax.random.split(key, dep_q)
     step_w = _per_step_weights(cfg, dep)
+    if _can_use_dep_megakernel(cfg, dep, b):
+        return _depformer_generate_megakernel(
+            cfg, params, transformer_out, text_token, keys, step_w,
+            temp, top_k)
+    kv0 = init_transformer_state(dcfg, b)
     # the text embedding (step 0's token input) is loop-invariant:
     # compute it once outside the scan and select per step — cheaper than
     # a lax.cond branch at this chip's per-op cost

@@ -1,0 +1,289 @@
+"""Whole-layer depformer megakernel (q4_k, B=1-optimised).
+
+One Pallas program computes an ENTIRE depformer layer step:
+    rms1-> qkv proj -> ring write -> causal attention over <=8 steps
+    -> out proj -> +residual -> rms2 -> GLU gating -> linear_out
+    -> +residual
+with the tiny per-layer KV cache aliased in-place.  The depformer's per
+layer weights (q4_k packed) fit VMEM entirely (~10 MB), so there is no
+grid: 6 sequential layer-steps become 6 kernel launches instead of ~60
+XLA ops — on this runtime XLA op dispatch (~20-70 us/op at B=1) dominates
+the depformer's 36 ms share of the frame (BENCH_NOTES.md).
+
+Head handling without reshapes (Mosaic rejects sub-lane reshapes): with
+head_dim-sized blocks, per-head scores are block-sums of k*q
+( _block_sums-style iota contraction) and the probability-weighted value
+sum expands p back over head blocks with the scale-expansion contraction
+— the whole attention is flat [S, dd] arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from moshi_tpu.quant.formats import QK, QuantTensor
+from moshi_tpu.quant.pallas_matmul import (_block_sums_mxu,
+                                           _expand_block_scales,
+                                           _maybe_norm, _q4k_dot, _silu)
+
+NEG = -1e9
+
+
+def _expand_heads(p, block: int):
+    """[S, H] -> [S, H*block]: inverse companion of _block_sums_mxu."""
+    return _expand_block_scales(p, block)
+
+
+def _dep_layer_kernel(cb_ref, h_ref, k_ref, v_ref,
+                      qkv_q, qkv_es, qkv_em,
+                      out_q, out_es, out_em,
+                      glu_q, glu_es, glu_em,
+                      lo_q, lo_es, lo_em,
+                      n1_ref, n2_ref,
+                      h_out, k_out, v_out,
+                      *, dd, heads, cap):
+    hd = dd // heads
+    cb = cb_ref[0]
+    h = h_ref[:].astype(jnp.float32)                     # [1, dd]
+
+    # --- qkv projection with fused rms norm1 -------------------------
+    xn = _maybe_norm(h_ref, n1_ref)
+    xs = _block_sums_mxu(xn, QK)
+    qkv = _q4k_dot(xn.astype(jnp.bfloat16), xs, qkv_q, qkv_es, qkv_em)
+    q = qkv[:, :dd]                                      # [1, dd] f32
+    k_new = qkv[:, dd:2 * dd]
+    v_new = qkv[:, 2 * dd:]
+
+    # --- ring write (cap >= dep_q so slot == cb, no wrap) ------------
+    k_out[:] = k_ref[:]
+    v_out[:] = v_ref[:]
+    k_out[pl.ds(cb, 1), :] = k_new.astype(k_out.dtype)
+    v_out[pl.ds(cb, 1), :] = v_new.astype(v_out.dtype)
+
+    # --- causal attention over steps 0..cb ---------------------------
+    kc = k_out[:].astype(jnp.bfloat16)                   # [cap, dd]
+    vc = v_out[:].astype(jnp.bfloat16)
+    qb = q.astype(jnp.bfloat16)
+    s = _block_sums_mxu((kc * qb).astype(jnp.float32), hd)   # [cap, H]
+    s = s * (hd ** -0.5)
+    j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(j <= cb, s, NEG)
+    m = jnp.max(s, axis=0, keepdims=True)                # [1, H]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    p = p / l
+    p_exp = _expand_heads(p, hd).astype(jnp.bfloat16)    # [cap, dd]
+    attn = jnp.sum((p_exp * vc).astype(jnp.float32), axis=0,
+                   keepdims=True)                        # [1, dd]
+
+    # --- out projection + residual -----------------------------------
+    a_bf = attn.astype(jnp.bfloat16)
+    a_xs = _block_sums_mxu(attn, QK)
+    h2 = h + _q4k_dot(a_bf, a_xs, out_q, out_es, out_em)
+
+    # --- GLU FFN with fused rms norm2 + residual ---------------------
+    ms = jnp.mean(h2 * h2, axis=-1, keepdims=True)
+    hn = h2 * jax.lax.rsqrt(ms + 1e-8) * n2_ref[:].astype(jnp.float32)
+    hn_xs = _block_sums_mxu(hn, QK)
+    hn_bf = hn.astype(jnp.bfloat16)
+    half = glu_q.shape[0] // 2
+    # load once, slice as arrays (avoids sliced-ref indexing limits)
+    glu_q_a = glu_q[:]
+    glu_es_a = glu_es[:]
+    glu_em_a = glu_em[:]
+    g = _q4k_dot(hn_bf, hn_xs, glu_q_a[:half], glu_es_a[:half],
+                 glu_em_a[:half])
+    v_ff = _q4k_dot(hn_bf, hn_xs, glu_q_a[half:], glu_es_a[half:],
+                    glu_em_a[half:])
+    hv = (_silu(g) * v_ff)
+    hv_bf = hv.astype(jnp.bfloat16)
+    hv_xs = _block_sums_mxu(hv, QK)
+    y = _q4k_dot(hv_bf, hv_xs, lo_q, lo_es, lo_em)
+    h_out[:] = (h2 + y).astype(h_out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "heads", "interpret"))
+def dep_layer_step(h, k_cache, v_cache, cb, weights, *, cap: int,
+                   heads: int, interpret: bool = False):
+    """One depformer layer step in a single kernel.
+
+    h: [1, dd] f32; k/v_cache: [cap, dd] (flat head-major);
+    cb: scalar i32 step index; weights: dict with q4_k QuantTensors
+    `qkv`, `out`, `glu` (fused linear_in), `lout` and f32 `n1`, `n2`.
+    Returns (h_new [1, dd], k_cache', v_cache')."""
+    dd = h.shape[-1]
+
+    def qt3(w):
+        qt = w.with_eff_scales()
+        return qt.q, qt.es, qt.em
+
+    qkv = qt3(weights["qkv"])
+    out = qt3(weights["out"])
+    glu = qt3(weights["glu"])
+    lo = qt3(weights["lout"])
+    specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 12 + 2)
+    h_new, k_new, v_new = pl.pallas_call(
+        functools.partial(_dep_layer_kernel, dd=dd, heads=heads, cap=cap),
+        in_specs=specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, dd), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(cb.reshape(1), h.astype(jnp.float32), k_cache, v_cache,
+      *qkv, *out, *glu, *lo,
+      weights["n1"].reshape(1, dd).astype(jnp.float32),
+      weights["n2"].reshape(1, dd).astype(jnp.float32))
+    return h_new, k_new, v_new
+
+
+def _dep_step_kernel(cb_ref, h_ref, k_ref, v_ref,
+                     qkv_q, qkv_es, qkv_em,
+                     out_q, out_es, out_em,
+                     glu_q, glu_es, glu_em,
+                     lo_q, lo_es, lo_em,
+                     n1_ref, n2_ref,
+                     h_out, k_out, v_out,
+                     h_scr,
+                     *, dd, heads, cap, nlayers):
+    """Grid=(L,): one grid step per depformer layer; the hidden state is
+    carried across layers in VMEM scratch, so a whole depformer STEP is a
+    single kernel launch."""
+    li = pl.program_id(0)
+    hd = dd // heads
+    cb = cb_ref[0]
+
+    @pl.when(li == 0)
+    def _load():
+        h_scr[:] = h_ref[:].astype(jnp.float32)
+
+    h = h_scr[:]                                          # [1, dd] f32
+
+    # qkv with fused rms norm1
+    ms = jnp.mean(h * h, axis=-1, keepdims=True)
+    xn = h * jax.lax.rsqrt(ms + 1e-8) * n1_ref[:].astype(jnp.float32)
+    xs = _block_sums_mxu(xn, QK)
+    qkv = _q4k_dot(xn.astype(jnp.bfloat16), xs, qkv_q, qkv_es, qkv_em)
+    q = qkv[:, :dd]
+    k_new = qkv[:, dd:2 * dd]
+    v_new = qkv[:, 2 * dd:]
+
+    k_out[:] = k_ref[:]
+    v_out[:] = v_ref[:]
+    k_out[pl.ds(cb, 1), :] = k_new.astype(k_out.dtype)
+    v_out[pl.ds(cb, 1), :] = v_new.astype(v_out.dtype)
+
+    kc = k_out[:].astype(jnp.bfloat16)
+    vc = v_out[:].astype(jnp.bfloat16)
+    s = _block_sums_mxu((kc * q.astype(jnp.bfloat16)).astype(jnp.float32),
+                        hd) * (hd ** -0.5)
+    j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(j <= cb, s, NEG)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=0, keepdims=True)
+    p_exp = _expand_heads(p, hd).astype(jnp.bfloat16)
+    attn = jnp.sum((p_exp * vc).astype(jnp.float32), axis=0, keepdims=True)
+
+    a_xs = _block_sums_mxu(attn, QK)
+    h2 = h + _q4k_dot(attn.astype(jnp.bfloat16), a_xs, out_q, out_es,
+                      out_em)
+
+    ms2 = jnp.mean(h2 * h2, axis=-1, keepdims=True)
+    hn = h2 * jax.lax.rsqrt(ms2 + 1e-8) * n2_ref[:].astype(jnp.float32)
+    hn_xs = _block_sums_mxu(hn, QK)
+    hn_bf = hn.astype(jnp.bfloat16)
+    half = glu_q.shape[0] // 2
+    glu_q_a = glu_q[:]
+    glu_es_a = glu_es[:]
+    glu_em_a = glu_em[:]
+    g = _q4k_dot(hn_bf, hn_xs, glu_q_a[:half], glu_es_a[:half],
+                 glu_em_a[:half])
+    v_ff = _q4k_dot(hn_bf, hn_xs, glu_q_a[half:], glu_es_a[half:],
+                    glu_em_a[half:])
+    hv = _silu(g) * v_ff
+    hv_xs = _block_sums_mxu(hv, QK)
+    y = _q4k_dot(hv.astype(jnp.bfloat16), hv_xs, lo_q, lo_es, lo_em)
+    h_scr[:] = h2 + y
+
+    @pl.when(li == nlayers - 1)
+    def _store():
+        h_out[:] = h_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "heads", "nlayers",
+                                             "interpret"))
+def dep_full_step(h, k_cache, v_cache, cb, weights, *, cap: int,
+                  heads: int, nlayers: int, interpret: bool = False):
+    """ALL depformer layers of one step in a single kernel launch.
+
+    h: [1, dd]; k/v_cache: [L, cap, dd]; weights: dict of STACKED [L, ...]
+    q4_k QuantTensors (qkv/out/glu/lout) + alphas n1/n2 [L, dd].
+    Returns (h_new [1, dd], k_cache', v_cache')."""
+    dd = h.shape[-1]
+
+    def qt3(w):
+        qt = w.with_eff_scales()
+        return qt.q, qt.es, qt.em
+
+    qkv = qt3(weights["qkv"])
+    out = qt3(weights["out"])
+    glu = qt3(weights["glu"])
+    lo = qt3(weights["lout"])
+
+    def wspec(arr):
+        shape = (1,) + arr.shape[1:]
+        return pl.BlockSpec(shape, lambda l, s=len(arr.shape): (l,) + (0,) * (s - 1),
+                            memory_space=pltpu.VMEM)
+
+    w_arrays = [*qkv, *out, *glu, *lo,
+                weights["n1"].astype(jnp.float32),
+                weights["n2"].astype(jnp.float32)]
+    w_specs = [wspec(a) for a in w_arrays]
+    kv_spec = pl.BlockSpec((1,) + k_cache.shape[1:], lambda l: (l, 0, 0),
+                           memory_space=pltpu.VMEM)
+    h_new, k_new, v_new = pl.pallas_call(
+        functools.partial(_squeeze_lead(_dep_step_kernel), dd=dd,
+                          heads=heads, cap=cap, nlayers=nlayers),
+        grid=(nlayers,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, dd), lambda l: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  kv_spec, kv_spec] + w_specs,
+        out_specs=[pl.BlockSpec((1, dd), lambda l: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, dd), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, dd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(cb.reshape(1), h.astype(jnp.float32), k_cache, v_cache, *w_arrays)
+    return h_new, k_new, v_new
+
+
+def _squeeze_lead(kernel):
+    """Adapt the per-layer kernel to blocked [1, ...] leading dims
+    (quant arrays squeeze their layer axis; the [1, dd] norm blocks are
+    already the shape the kernel expects)."""
+    def wrapped(cb_ref, h_ref, k_ref, v_ref, *rest, **kw):
+        *w_refs, n1_ref, n2_ref, h_out, k_out, v_out, h_scr = rest
+        sq = [r.at[0] for r in w_refs]
+        kernel(cb_ref, h_ref, k_ref.at[0], v_ref.at[0], *sq,
+               n1_ref, n2_ref, h_out, k_out.at[0], v_out.at[0], h_scr,
+               **kw)
+    return wrapped
