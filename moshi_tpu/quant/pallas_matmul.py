@@ -264,27 +264,37 @@ def _q8_dot(xn, q_ref, d_ref):
     return acc
 
 
-def _q4k_dot(xn, xs, q_ref, es_ref, em_ref):
-    """Dequant-dot of a q4_k weight tile; xs = 32-block sums of xn (f32)."""
+def _q4k_dot(xn, xs, q_ref, es_ref, em_ref, row_block: int = 1024):
+    """Dequant-dot of a q4_k weight tile; xs = 32-block sums of xn (f32).
+    Row-blocked so f32 dequant intermediates stay ~2 MB even when the
+    caller passes a full large weight (megakernels): unblocked [O, K/2]
+    f32 temporaries spill VMEM to HBM and wreck bandwidth."""
     m, k = xn.shape
     k2 = k // 2
     chunk = min(_CHUNK, k2)
-    acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
-    for c0 in range(0, k2, chunk):
-        cs = min(chunk, k2 - c0)
-        pi = q_ref[:, c0:c0 + cs].astype(jnp.int32)
-        lo = (pi & 15).astype(jnp.float32)
-        hi = ((pi >> 4) & 15).astype(jnp.float32)
-        s_lo = _expand_block_scales(
-            es_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
-        s_hi = _expand_block_scales(
-            es_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
-            .astype(jnp.float32), QK)
-        acc += _dot_t(xn[:, c0:c0 + cs], (lo * s_lo).astype(jnp.bfloat16))
-        acc += _dot_t(xn[:, k2 + c0:k2 + c0 + cs],
-                      (hi * s_hi).astype(jnp.bfloat16))
-    acc -= _dot_t(xs, em_ref[:].astype(jnp.float32))
-    return acc
+    o = q_ref.shape[0]
+    outs = []
+    for r0 in range(0, o, row_block):
+        rs = min(row_block, o - r0)
+        acc = jnp.zeros((m, rs), jnp.float32)
+        for c0 in range(0, k2, chunk):
+            cs = min(chunk, k2 - c0)
+            pi = q_ref[r0:r0 + rs, c0:c0 + cs].astype(jnp.int32)
+            lo = (pi & 15).astype(jnp.float32)
+            hi = ((pi >> 4) & 15).astype(jnp.float32)
+            s_lo = _expand_block_scales(
+                es_ref[r0:r0 + rs, c0 // QK:(c0 + cs) // QK]
+                .astype(jnp.float32), QK)
+            s_hi = _expand_block_scales(
+                es_ref[r0:r0 + rs, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
+                .astype(jnp.float32), QK)
+            acc += _dot_t(xn[:, c0:c0 + cs],
+                          (lo * s_lo).astype(jnp.bfloat16))
+            acc += _dot_t(xn[:, k2 + c0:k2 + c0 + cs],
+                          (hi * s_hi).astype(jnp.bfloat16))
+        acc -= _dot_t(xs, em_ref[r0:r0 + rs].astype(jnp.float32))
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _silu(x):
