@@ -363,14 +363,25 @@ def _can_use_dep_megakernel(cfg: LMConfig, dep, b: int) -> bool:
     if cfg.depformer.rope_max_period or not cfg.depformer.gating:
         return False
     lay = dep["layers"]
-    leaves = [lay["self_attn"]["in_proj"], lay["self_attn"]["out_proj"],
-              lay["gating"]["linear_in"], lay["gating"]["linear_out"]]
-    for lf in leaves:
+    main = [lay["self_attn"]["in_proj"], lay["self_attn"]["out_proj"],
+            lay["gating"]["linear_in"]]
+    for lf in main:
         w = lf.get("weight")
         if not (isinstance(w, QuantTensor) and w.fmt == "q4_k"):
             return False
         if "bias" in lf:
             return False
+    lo = lay["gating"]["linear_out"]
+    w = lo.get("weight")
+    # linear_out's K (depformer hidden, 4224 on 7B) is often not a 256
+    # multiple -> policy makes it q4_0; the kernel supports both, as long
+    # as scale blocks don't straddle the planar half (K % 64 == 0)
+    from moshi_tpu.quant.formats import pallas_layout_ok
+    if not (isinstance(w, QuantTensor) and w.fmt in ("q4_k", "q4_0")
+            and pallas_layout_ok(w)):
+        return False
+    if "bias" in lo:
+        return False
     return True
 
 

@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from moshi_tpu.quant.formats import QK, QuantTensor
 from moshi_tpu.quant.pallas_matmul import (_block_sums_mxu,
                                            _expand_block_scales,
-                                           _maybe_norm, _q4k_dot, _silu)
+                                           _maybe_norm, _q4_0_dot,
+                                           _q4k_dot, _silu)
 
 NEG = -1e9
 
@@ -155,7 +156,7 @@ def _dep_step_kernel(cb_ref, h_ref, k_ref, v_ref,
                      n1_ref, n2_ref,
                      h_out, k_out, v_out,
                      h_scr,
-                     *, dd, heads, cap, nlayers):
+                     *, dd, heads, cap, nlayers, lout_fmt="q4_k"):
     """Grid=(L,): one grid step per depformer layer; the hidden state is
     carried across layers in VMEM scratch, so a whole depformer STEP is a
     single kernel launch."""
@@ -212,8 +213,11 @@ def _dep_step_kernel(cb_ref, h_ref, k_ref, v_ref,
     v_ff = _q4k_dot(hn_bf, hn_xs, glu_q_a[half:], glu_es_a[half:],
                     glu_em_a[half:])
     hv = _silu(g) * v_ff
-    hv_xs = _block_sums_mxu(hv, QK)
-    y = _q4k_dot(hv.astype(jnp.bfloat16), hv_xs, lo_q, lo_es, lo_em)
+    if lout_fmt == "q4_k":
+        hv_xs = _block_sums_mxu(hv, QK)
+        y = _q4k_dot(hv.astype(jnp.bfloat16), hv_xs, lo_q, lo_es, lo_em)
+    else:  # q4_0 (linear_out K=4224 is not a 256 multiple on 7B)
+        y = _q4_0_dot(hv.astype(jnp.bfloat16), lo_q, lo_es)
     h_scr[:] = h2 + y
 
     @pl.when(li == nlayers - 1)
@@ -239,7 +243,11 @@ def dep_full_step(h, k_cache, v_cache, cb, weights, *, cap: int,
     qkv = qt3(weights["qkv"])
     out = qt3(weights["out"])
     glu = qt3(weights["glu"])
-    lo = qt3(weights["lout"])
+    lout_fmt = weights["lout"].fmt
+    if lout_fmt == "q4_k":
+        lo = qt3(weights["lout"])
+    else:  # q4_0: (q, d, d-dup to keep arity)
+        lo = (weights["lout"].q, weights["lout"].d, weights["lout"].d)
 
     def wspec(arr):
         shape = (1,) + arr.shape[1:]
@@ -254,7 +262,8 @@ def dep_full_step(h, k_cache, v_cache, cb, weights, *, cap: int,
                            memory_space=pltpu.VMEM)
     h_new, k_new, v_new = pl.pallas_call(
         functools.partial(_squeeze_lead(_dep_step_kernel), dd=dd,
-                          heads=heads, cap=cap, nlayers=nlayers),
+                          heads=heads, cap=cap, nlayers=nlayers,
+                          lout_fmt=lout_fmt),
         grid=(nlayers,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, dd), lambda l: (0, 0),

@@ -279,6 +279,16 @@ def pallas_enabled() -> bool:
     return _PALLAS_ENABLED
 
 
+def pallas_layout_ok(qt: QuantTensor) -> bool:
+    """The split-half kernels contract lo/hi planar halves separately, so
+    scale blocks must not straddle the half boundary: K % 64 == 0 for
+    4-bit formats (q8_0 has no packing)."""
+    if qt.fmt in ("q4_0", "q4_k"):
+        k2 = qt.q.shape[-1]
+        return k2 % QK == 0
+    return True
+
+
 def _rms_pre_norm(x, alpha):
     xf = x.astype(jnp.float32)
     ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -291,7 +301,7 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None,
     `pre_norm_alpha` fuses an rms pre-norm of x (in-kernel on the Pallas
     path; inline on the XLA path) — same math as nn.layers.rms_norm."""
     if isinstance(w, QuantTensor):
-        if _PALLAS_ENABLED:
+        if _PALLAS_ENABLED and pallas_layout_ok(w):
             from moshi_tpu.quant import pallas_matmul
             y = pallas_matmul.qmatmul_pallas(x, w, alpha=pre_norm_alpha)
         else:

@@ -297,6 +297,36 @@ def _q4k_dot(xn, xs, q_ref, es_ref, em_ref, row_block: int = 1024):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
+def _q4_0_dot(xn, q_ref, d_ref, row_block: int = 1024):
+    """Row-blocked dequant-dot of a q4_0 weight tile (planar nibbles,
+    symmetric scale; no mins correction)."""
+    m, k = xn.shape
+    k2 = k // 2
+    chunk = min(_CHUNK, k2)
+    o = q_ref.shape[0]
+    outs = []
+    for r0 in range(0, o, row_block):
+        rs = min(row_block, o - r0)
+        acc = jnp.zeros((m, rs), jnp.float32)
+        for c0 in range(0, k2, chunk):
+            cs = min(chunk, k2 - c0)
+            pi = q_ref[r0:r0 + rs, c0:c0 + cs].astype(jnp.int32)
+            lo = (pi & 15).astype(jnp.float32) - 8.0
+            hi = ((pi >> 4) & 15).astype(jnp.float32) - 8.0
+            d_lo = _expand_block_scales(
+                d_ref[r0:r0 + rs, c0 // QK:(c0 + cs) // QK]
+                .astype(jnp.float32), QK)
+            d_hi = _expand_block_scales(
+                d_ref[r0:r0 + rs, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
+                .astype(jnp.float32), QK)
+            acc += _dot_t(xn[:, c0:c0 + cs],
+                          (lo * d_lo).astype(jnp.bfloat16))
+            acc += _dot_t(xn[:, k2 + c0:k2 + c0 + cs],
+                          (hi * d_hi).astype(jnp.bfloat16))
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _silu(x):
     return x * (1.0 / (1.0 + jnp.exp(-x)))
 
