@@ -132,6 +132,8 @@ def main():
         if not args.pallas:
             raise
         import sys
+        import traceback
+        traceback.print_exc()
         print(f"pallas path failed ({type(e).__name__}); "
               f"falling back to XLA", file=sys.stderr)
         from moshi_tpu.quant.formats import enable_pallas

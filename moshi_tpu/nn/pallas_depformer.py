@@ -254,9 +254,12 @@ def dep_full_step(h, k_cache, v_cache, cb, weights, *, cap: int,
         return pl.BlockSpec(shape, lambda l, s=len(arr.shape): (l,) + (0,) * (s - 1),
                             memory_space=pltpu.VMEM)
 
+    # norms as [L, 1, dd]: a (1, dd) block of an [L, dd] array violates the
+    # Mosaic block rule (second-minor block dim must divide 8 or equal the
+    # array dim) — silent XLA fallback on the 7B bench until reshaped
     w_arrays = [*qkv, *out, *glu, *lo,
-                weights["n1"].astype(jnp.float32),
-                weights["n2"].astype(jnp.float32)]
+                weights["n1"].reshape(-1, 1, dd).astype(jnp.float32),
+                weights["n2"].reshape(-1, 1, dd).astype(jnp.float32)]
     w_specs = [wspec(a) for a in w_arrays]
     kv_spec = pl.BlockSpec((1,) + k_cache.shape[1:], lambda l: (l, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -293,6 +296,6 @@ def _squeeze_lead(kernel):
         *w_refs, n1_ref, n2_ref, h_out, k_out, v_out, h_scr = rest
         sq = [r.at[0] for r in w_refs]
         kernel(cb_ref, h_ref, k_ref.at[0], v_ref.at[0], *sq,
-               n1_ref, n2_ref, h_out, k_out.at[0], v_out.at[0], h_scr,
-               **kw)
+               n1_ref.at[0], n2_ref.at[0], h_out, k_out.at[0], v_out.at[0],
+               h_scr, **kw)
     return wrapped

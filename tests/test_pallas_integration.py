@@ -46,3 +46,19 @@ def test_lm_step_pallas_interpret_matches_xla(fmt):
     for f in range(3):
         np.testing.assert_array_equal(got[f][0], ref[f][0])
         np.testing.assert_array_equal(got[f][1], ref[f][1])
+
+
+def test_lm_step_pallas_lowers_for_tpu():
+    """AOT cross-lowering to TPU runs the Mosaic block-mapping checks that
+    interpret mode skips (a (1, dd) block of an [L, dd] array passed
+    interpret tests but raised ValueError on the real chip and silently
+    benched the XLA fallback)."""
+    params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
+    enable_pallas(True)
+    try:
+        state = init_gen_state(_cfg, 1, jax.random.PRNGKey(5))
+        f = jax.jit(lambda p, s: lm_gen_step(_cfg, p, s, temp=0.0,
+                                             temp_text=0.0))
+        f.trace(params, state).lower(lowering_platforms=("tpu",))
+    finally:
+        enable_pallas(False)
