@@ -60,11 +60,13 @@ def _dep_layer_kernel(cb_ref, h_ref, k_ref, v_ref,
     k_new = qkv[:, dd:2 * dd]
     v_new = qkv[:, 2 * dd:]
 
-    # --- ring write (cap >= dep_q so slot == cb, no wrap) ------------
-    k_out[:] = k_ref[:]
-    v_out[:] = v_ref[:]
-    k_out[pl.ds(cb, 1), :] = k_new.astype(k_out.dtype)
-    v_out[pl.ds(cb, 1), :] = v_new.astype(v_out.dtype)
+    # --- ring write (cap >= dep_q so slot == cb, no wrap) -------------
+    # full-tile select instead of a dynamic-sublane store: Mosaic cannot
+    # prove a dynamic sublane index tile-aligned ("index in dimension 0
+    # is a multiple of 8") and refuses the vector_store
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, dd), 0)
+    k_out[:] = jnp.where(rows == cb, k_new.astype(k_out.dtype), k_ref[:])
+    v_out[:] = jnp.where(rows == cb, v_new.astype(v_out.dtype), v_ref[:])
 
     # --- causal attention over steps 0..cb ---------------------------
     kc = k_out[:].astype(jnp.bfloat16)                   # [cap, dd]
@@ -179,10 +181,9 @@ def _dep_step_kernel(cb_ref, h_ref, k_ref, v_ref,
     k_new = qkv[:, dd:2 * dd]
     v_new = qkv[:, 2 * dd:]
 
-    k_out[:] = k_ref[:]
-    v_out[:] = v_ref[:]
-    k_out[pl.ds(cb, 1), :] = k_new.astype(k_out.dtype)
-    v_out[pl.ds(cb, 1), :] = v_new.astype(v_out.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, dd), 0)
+    k_out[:] = jnp.where(rows == cb, k_new.astype(k_out.dtype), k_ref[:])
+    v_out[:] = jnp.where(rows == cb, v_new.astype(v_out.dtype), v_ref[:])
 
     kc = k_out[:].astype(jnp.bfloat16)
     vc = v_out[:].astype(jnp.bfloat16)
