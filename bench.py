@@ -102,7 +102,7 @@ def main():
         mimi_params = mimi.init_params(jax.random.PRNGKey(1), jnp.bfloat16)
         pipe = STSPipeline(mimi, cfg, temp=0.8, temp_text=0.7,
                            top_k=250, top_k_text=25)
-        state = pipe.init_state(args.batch)
+        state = pipe.init_state(args.batch, lm_params=params)
         audio_in = np.zeros((args.batch, frame_samples), np.float32)
 
         def one_frame(state):
@@ -110,7 +110,7 @@ def main():
             jax.block_until_ready(out["audio_out"])
             return state
     else:
-        state = init_gen_state(cfg, args.batch)
+        state = init_gen_state(cfg, args.batch, params=params)
         n_other = cfg.n_q - cfg.dep_q
         other = jnp.zeros((args.batch, n_other), jnp.int32)
         lm_step = jax.jit(
@@ -140,6 +140,11 @@ def main():
         enable_pallas(False)
         args.pallas = False
         jax.clear_caches()
+        # re-init: the megakernel KV layout only runs under pallas
+        if use_mimi:
+            state = pipe.init_state(args.batch, lm_params=params)
+        else:
+            state = init_gen_state(cfg, args.batch, params=params)
         state = one_frame(state)
     for _ in range(args.warmup - 1):
         state = one_frame(state)

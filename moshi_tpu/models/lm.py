@@ -512,11 +512,18 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
 # delay cache (device-side LMGen state, lm.h:778-979)
 # ---------------------------------------------------------------------------
 
-def init_gen_state(cfg: LMConfig, batch: int, key=None):
+def init_gen_state(cfg: LMConfig, batch: int, key=None, params=None):
+    """Fresh generation state.  Pass `params` to let the allocator pick
+    the temporal-megakernel KV layout when the weights/flags allow it
+    (pallas on, B=1, q4_k) — the forward dispatches on the layout."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    from moshi_tpu.nn.transformer import can_use_temporal_megakernel
+    flat = params is not None and can_use_temporal_megakernel(
+        cfg.transformer, params["transformer"], batch)
     return {
-        "transformer": init_transformer_state(cfg.transformer, batch),
+        "transformer": init_transformer_state(cfg.transformer, batch,
+                                              flat=flat),
         "cache": jnp.full((batch, cfg.cache_len, cfg.num_codebooks),
                           UNGENERATED, jnp.int32),
         "offset": jnp.zeros((batch,), jnp.int32),

@@ -157,7 +157,10 @@ def _temporal_kernel(off_ref, r_ref, h0_ref, cosf_ref, sinm_ref,
         even = (jax.lax.broadcasted_iota(jnp.int32, (1, dd), 1) % 2) == 0
 
         def rot(x):
-            sw = jnp.where(even, pltpu.roll(x, -1, 1), pltpu.roll(x, 1, 1))
+            # pair swap via lane rolls (shift must be non-negative:
+            # left-by-1 == right-by-dd-1)
+            sw = jnp.where(even, pltpu.roll(x, dd - 1, 1),
+                           pltpu.roll(x, 1, 1))
             return x * cosf + sw * sinm
 
         q = rot(q_scr[:])

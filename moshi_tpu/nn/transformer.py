@@ -96,12 +96,81 @@ def init_transformer_params(key, cfg: TransformerConfig, dtype=jnp.float32):
     return {"layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)}
 
 
-def init_transformer_state(cfg: TransformerConfig, batch: int):
+def init_transformer_state(cfg: TransformerConfig, batch: int,
+                           flat: bool = False):
+    """KV state for the stack.  flat=True allocates the temporal-megakernel
+    layout: [L, cap_pad, dim] head-major rings (B=1 only; cap padded to
+    the kernel's chunk multiple, ring arithmetic still uses cap)."""
+    if flat:
+        assert batch == 1
+        from moshi_tpu.nn.pallas_temporal import plan_stages
+        cap_pad = plan_stages(cfg.dim, cfg.hidden_dim, cfg.mha.cap)[5]
+        shape = (cfg.num_layers, cap_pad, cfg.dim)
+        dt = jnp.dtype(cfg.kv_dtype)
+        return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
     kv = init_kv_state(cfg.mha, batch)
     return {
         "k": jnp.stack([kv["k"]] * cfg.num_layers),
         "v": jnp.stack([kv["v"]] * cfg.num_layers),
     }
+
+
+def can_use_temporal_megakernel(cfg: TransformerConfig, params,
+                                batch: int) -> bool:
+    """Whole-stack megakernel preconditions (nn/pallas_temporal.py):
+    pallas on, B=1, rope + rms norms + silu gating, no cross-attn /
+    layer-scale / biases, all four projections q4_k QuantTensors."""
+    from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
+    if not (pallas_enabled() and batch == 1):
+        return False
+    if cfg.cross_attention or cfg.use_layer_scale:
+        return False
+    if not cfg.norm.startswith("rms_norm") or cfg.gating != "silu":
+        return False
+    if not cfg.rope_max_period or (cfg.dim // cfg.num_heads) % 2:
+        return False
+    lay = params["layers"]
+    if "gating" not in lay:
+        return False
+    for lf in (lay["self_attn"]["in_proj"], lay["self_attn"]["out_proj"],
+               lay["gating"]["linear_in"], lay["gating"]["linear_out"]):
+        w = lf.get("weight")
+        if not (isinstance(w, QuantTensor) and w.fmt == "q4_k"):
+            return False
+        if "bias" in lf:
+            return False
+    return True
+
+
+def _forward_megakernel(cfg: TransformerConfig, params, state, x, offset):
+    """Dispatch the whole stack to the single-launch temporal megakernel
+    (state is the flat [L, cap_pad, dim] layout).  The kernel attends the
+    current token from registers and returns per-layer k/v rows; the ring
+    write is ONE dynamic_update_slice across all layers (same slot)."""
+    from moshi_tpu.nn.pallas_temporal import temporal_full_step
+    from moshi_tpu.nn.rope import rope_angles
+    lay = params["layers"]
+    pos = offset.astype(jnp.int32)[0]
+    cos, sin = rope_angles(pos[None], cfg.mha.head_dim, cfg.rope_max_period)
+    weights = {
+        "qkv": lay["self_attn"]["in_proj"]["weight"],
+        "out": lay["self_attn"]["out_proj"]["weight"],
+        "glu": lay["gating"]["linear_in"]["weight"],
+        "lout": lay["gating"]["linear_out"]["weight"],
+        "n1": lay["norm1"]["alpha"],
+        "n2": lay["norm2"]["alpha"],
+    }
+    h_out, k_new, v_new = temporal_full_step(
+        x[:, 0], state["k"], state["v"], pos, (cos, sin), weights,
+        cap=cfg.mha.cap, context=cfg.context, heads=cfg.num_heads,
+        hidden=cfg.hidden_dim, nlayers=cfg.num_layers)
+    slot = (pos % cfg.mha.cap).astype(jnp.int32)
+    zero = jnp.int32(0)
+    kc = jax.lax.dynamic_update_slice(
+        state["k"], k_new.astype(state["k"].dtype), (zero, slot, zero))
+    vc = jax.lax.dynamic_update_slice(
+        state["v"], v_new.astype(state["v"].dtype), (zero, slot, zero))
+    return h_out[:, None].astype(x.dtype), {"k": kc, "v": vc}
 
 
 def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
@@ -153,6 +222,8 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
     x: [B, T, D]; offset: [B] (position of x[:, 0] in the stream).
     cross_kv: optional {k, v: [L, B, S, H, hd]} per-layer cross K/V.
     Returns (y, new_state)."""
+    if state["k"].ndim == 3:       # flat megakernel layout [L, cap_pad, D]
+        return _forward_megakernel(cfg, params, state, x, offset)
     layers = params["layers"]
     kv = {"k": state["k"], "v": state["v"]}
     # rope angles / additive bias / positions computed ONCE per step and

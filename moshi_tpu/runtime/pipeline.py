@@ -67,10 +67,10 @@ class STSPipeline:
 
         self._frame = jax.jit(frame, donate_argnums=(2,))
 
-    def init_state(self, batch: int, key=None):
+    def init_state(self, batch: int, key=None, lm_params=None):
         return {
             "enc": self.mimi.init_encode_state(batch, self.mimi_dtype),
-            "lm": init_gen_state(self.lm_cfg, batch, key),
+            "lm": init_gen_state(self.lm_cfg, batch, key, params=lm_params),
             "dec": self.mimi.init_decode_state(batch, self.mimi_dtype),
         }
 
@@ -110,10 +110,10 @@ class STTPipeline:
 
         self._frame = jax.jit(frame, donate_argnums=(2,))
 
-    def init_state(self, batch: int, key=None):
+    def init_state(self, batch: int, key=None, lm_params=None):
         return {
             "enc": self.mimi.init_encode_state(batch, self.mimi_dtype),
-            "lm": init_gen_state(self.lm_cfg, batch, key),
+            "lm": init_gen_state(self.lm_cfg, batch, key, params=lm_params),
         }
 
     def step(self, mimi_params, lm_params, state, audio_in):
@@ -164,9 +164,9 @@ class TTSPipeline:
         self._audio_phase = jax.jit(audio_phase, static_argnums=(6,))
         self._dep_q = dep_q
 
-    def init_state(self, batch: int, key=None):
+    def init_state(self, batch: int, key=None, lm_params=None):
         return {
-            "lm": init_gen_state(self.lm_cfg, batch, key),
+            "lm": init_gen_state(self.lm_cfg, batch, key, params=lm_params),
             "dec": self.mimi.init_decode_state(batch, self.mimi_dtype),
         }
 

@@ -47,7 +47,8 @@ class LMGenerator:
             machine.new_state() if machine else None)
         self.condition_sum = condition_sum
         self.cross_kv = cross_kv
-        self.state = init_gen_state(cfg, batch, jax.random.PRNGKey(seed))
+        self.state = init_gen_state(cfg, batch, jax.random.PRNGKey(seed),
+                                    params=params)
         self.text_prefixes: Deque[int] = deque()
         self.audio_prefixes: Deque[List[int]] = deque()
         self.skip = 0
@@ -178,7 +179,8 @@ class LMGenerator:
 
     def reset(self, seed: int = 0):
         self.state = init_gen_state(self.cfg, self.batch,
-                                    jax.random.PRNGKey(seed))
+                                    jax.random.PRNGKey(seed),
+                                    params=self.params)
         self._offset = 0
         self.skip = 0
         self.text_prefixes.clear()

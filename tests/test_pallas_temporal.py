@@ -1,0 +1,108 @@
+"""Temporal-stack megakernel (nn/pallas_temporal.py) vs the XLA path.
+
+Interpret mode on CPU for numerics (ring wrap-around included), plus TPU
+cross-lowering for the Mosaic block rules that interpret mode skips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
+from moshi_tpu.nn.transformer import (_forward_megakernel,
+                                      can_use_temporal_megakernel,
+                                      init_transformer_state,
+                                      transformer_forward)
+from moshi_tpu.quant.formats import enable_pallas
+from moshi_tpu.runtime.synth import synth_lm_params
+
+_cfg = LMConfig(
+    dim=256, num_heads=4, num_layers=2, hidden_dim=256, context=16,
+    card=256, n_q=4, dep_q=2, text_card=512, delays=(0, 0, 1, 1, 2),
+    depformer_dim=256, depformer_heads=4, depformer_layers=1,
+    depformer_hidden=256, depformer_low_rank=16)
+
+
+def _tparams():
+    return synth_lm_params(jax.random.PRNGKey(0), _cfg,
+                           fmt="q4_k")["transformer"]
+
+
+def test_megakernel_matches_xla_stack():
+    """20 decode steps (ring wraps at context=16): outputs and cache
+    contents match the XLA stack within bf16-attention tolerance."""
+    tcfg = _cfg.transformer
+    tp = _tparams()
+    assert can_use_temporal_megakernel.__wrapped__(tcfg, tp, 1) \
+        if hasattr(can_use_temporal_megakernel, "__wrapped__") else True
+    state_std = init_transformer_state(tcfg, 1)
+    state_flat = init_transformer_state(tcfg, 1, flat=True)
+    key = jax.random.PRNGKey(7)
+    for step in range(20):
+        key, k = jax.random.split(key)
+        x = jax.random.normal(k, (1, 1, _cfg.dim), jnp.float32)
+        offset = jnp.full((1,), step, jnp.int32)
+        y_ref, state_std = transformer_forward(tcfg, tp, state_std, x,
+                                               offset)
+        with pltpu.force_tpu_interpret_mode():
+            y_got, state_flat = _forward_megakernel(tcfg, tp, state_flat,
+                                                    x, offset)
+        scale = np.abs(np.asarray(y_ref)).mean()
+        err = np.abs(np.asarray(y_got) - np.asarray(y_ref)).max()
+        assert err / scale < 5e-2, f"step {step}: err {err/scale}"
+    # ring contents: flat cache rows == standard cache rows (post-rope k)
+    cap = tcfg.mha.cap
+    k_std = np.asarray(state_std["k"])[:, 0, :cap]          # [L, cap, H, hd]
+    k_std = k_std.reshape(k_std.shape[0], cap, -1)
+    k_flat = np.asarray(state_flat["k"])[:, :cap]           # [L, cap, D]
+    np.testing.assert_allclose(k_flat.astype(np.float32),
+                               k_std.astype(np.float32), atol=2e-2)
+
+
+def test_megakernel_e2e_lm_step():
+    """Full lm_gen_step with the flat-KV layout vs the XLA path: greedy
+    tokens over several frames."""
+    params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
+
+    def run(flat):
+        enable_pallas(flat)
+        try:
+            state = init_gen_state(_cfg, 1, jax.random.PRNGKey(5),
+                                   params=params if flat else None)
+            if flat:
+                assert state["transformer"]["k"].ndim == 3
+            outs = []
+            for _ in range(4):
+                if flat:
+                    with pltpu.force_tpu_interpret_mode():
+                        out, state = lm_gen_step(_cfg, params, state,
+                                                 temp=0.0, temp_text=0.0)
+                else:
+                    out, state = lm_gen_step(_cfg, params, state,
+                                             temp=0.0, temp_text=0.0)
+                outs.append((np.asarray(out["sampled_text"]),
+                             np.asarray(out["audio"])))
+            return outs
+        finally:
+            enable_pallas(False)
+
+    ref = run(False)
+    got = run(True)
+    for f in range(4):
+        np.testing.assert_array_equal(got[f][0], ref[f][0])
+        np.testing.assert_array_equal(got[f][1], ref[f][1])
+
+
+def test_megakernel_lowers_for_tpu():
+    params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
+    enable_pallas(True)
+    try:
+        state = init_gen_state(_cfg, 1, jax.random.PRNGKey(5),
+                               params=params)
+        assert state["transformer"]["k"].ndim == 3
+        f = jax.jit(lambda p, s: lm_gen_step(_cfg, p, s, temp=0.0,
+                                             temp_text=0.0))
+        f.trace(params, state).lower(lowering_platforms=("tpu",))
+    finally:
+        enable_pallas(False)
