@@ -385,6 +385,71 @@ def _can_use_dep_megakernel(cfg: LMConfig, dep, b: int) -> bool:
     return True
 
 
+def _can_use_dep_frame_kernel(cfg: LMConfig, dep, step_w, b: int) -> bool:
+    """Whole-FRAME depformer kernel preconditions: the megakernel set plus
+    q4_k per-step output linears, a low-rank embedding stack (dep_q > 1),
+    lane-aligned card, and a no-wrap ring (cap >= dep_q)."""
+    from moshi_tpu.quant.formats import QuantTensor
+    if not _can_use_dep_megakernel(cfg, dep, b):
+        return False
+    if cfg.runtime_dep_q <= 1 or "emb" not in step_w:
+        return False
+    lw = step_w["linears"]["weight"]
+    if not (isinstance(lw, QuantTensor) and lw.fmt == "q4_k"):
+        return False
+    if cfg.card % 128:
+        return False
+    if cfg.depformer.mha.cap < cfg.runtime_dep_q:
+        return False
+    inw = step_w["in"]["weight"]
+    if not isinstance(inw, QuantTensor):
+        return False
+    ew = step_w["emb"]["weight"]
+    lrw = step_w["emb"]["low_rank"]["weight"]
+    if isinstance(ew, QuantTensor) or isinstance(lrw, QuantTensor):
+        return False
+    return True
+
+
+def _depformer_generate_frame_kernel(cfg: LMConfig, params, transformer_out,
+                                     text_token, key, step_w,
+                                     temp: float, top_k: int):
+    """ONE pallas launch for the whole depformer frame (all dep_q steps,
+    all layers, logits and sampling in-kernel; nn/pallas_depformer.py
+    dep_frame_step).  The per-step depformer_in projections are token-
+    independent, so they are batched OUTSIDE as a single tall matmul."""
+    from moshi_tpu.nn.pallas_depformer import dep_frame_step
+    from moshi_tpu.quant.formats import flatten_lead, qmatmul
+    dep = params["depformer"]
+    dcfg = cfg.depformer
+    dep_q = cfg.runtime_dep_q
+    dd = dcfg.dim
+    card = cfg.card
+    text_emb = _depformer_text_embed(cfg, dep, text_token)     # [1, dd]
+    h_in = qmatmul(transformer_out, flatten_lead(step_w["in"]["weight"]))
+    h_in_all = h_in.reshape(dep_q, 1, dd)
+    if temp == 0.0:
+        noise = jnp.zeros((dep_q, 1, card), jnp.float32)
+    else:
+        noise = jax.random.gumbel(key, (dep_q, 1, card), jnp.float32)
+    lay = dep["layers"]
+    weights = {
+        "qkv": step_w["attn"]["in_proj"]["weight"],      # [W, L, 3dd, dd]
+        "out": step_w["attn"]["out_proj"]["weight"],
+        "glu": step_w["gating"]["linear_in"]["weight"],
+        "lout": step_w["gating"]["linear_out"]["weight"],
+        "n1": lay["norm1"]["alpha"], "n2": lay["norm2"]["alpha"],
+        "linears": step_w["linears"]["weight"],          # [W, card, dd]
+        "emb": step_w["emb"]["weight"],                  # [W, card+1, lr]
+        "lr_w": step_w["emb"]["low_rank"]["weight"],     # [W, dd, lr]
+    }
+    tokens = dep_frame_step(
+        h_in_all, text_emb.astype(jnp.float32), weights, noise,
+        cap=dcfg.mha.cap, heads=dcfg.num_heads, nlayers=dcfg.num_layers,
+        card=card, temp=float(temp), top_k=int(top_k))
+    return tokens[None, :]                               # [B=1, dep_q]
+
+
 def _depformer_generate_megakernel(cfg: LMConfig, params, transformer_out,
                                    text_token, keys, step_w,
                                    temp: float, top_k: int):
@@ -455,6 +520,10 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
     b = transformer_out.shape[0]
     keys = jax.random.split(key, dep_q)
     step_w = _per_step_weights(cfg, dep)
+    if _can_use_dep_frame_kernel(cfg, dep, step_w, b):
+        return _depformer_generate_frame_kernel(
+            cfg, params, transformer_out, text_token, key, step_w,
+            temp, top_k)
     if _can_use_dep_megakernel(cfg, dep, b):
         return _depformer_generate_megakernel(
             cfg, params, transformer_out, text_token, keys, step_w,

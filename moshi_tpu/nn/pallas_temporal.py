@@ -143,7 +143,7 @@ def _temporal_kernel(off_ref, r_ref, h0_ref, cosf_ref, sinm_ref,
         @pl.when(s == si)
         def _qkv(si=si):
             y = _q4k_dot(xn_scr[:].astype(jnp.bfloat16), xs_scr[:],
-                         qkv_q.at[0], qkv_es.at[0], qkv_em.at[0])
+                         qkv_q, qkv_es, qkv_em)
             lane = si * tq
             proj, off_in = divmod(lane, dd)
             dst = (q_scr, k_scr, v_scr)[proj]
@@ -182,8 +182,8 @@ def _temporal_kernel(off_ref, r_ref, h0_ref, cosf_ref, sinm_ref,
         @pl.when(s == a0 + ai)
         def _attn(ai=ai):
             qb = q_scr[:].astype(jnp.bfloat16)                 # [1, dd]
-            kcb = kc_ref[0].astype(jnp.bfloat16)               # [C, dd]
-            vcb = vc_ref[0].astype(jnp.bfloat16)
+            kcb = kc_ref[:].astype(jnp.bfloat16)               # [C, dd]
+            vcb = vc_ref[:].astype(jnp.bfloat16)
             sc = _head_sums((kcb * qb).astype(jnp.bfloat16), hd) * scale
             off = off_ref[0]
             r = r_ref[0]
@@ -216,7 +216,7 @@ def _temporal_kernel(off_ref, r_ref, h0_ref, cosf_ref, sinm_ref,
         @pl.when(s == o0 + oi)
         def _out(oi=oi):
             y = _q4k_dot(xn_scr[:].astype(jnp.bfloat16), xs_scr[:],
-                         out_q.at[0], out_es.at[0], out_em.at[0])
+                         out_q, out_es, out_em)
             o_scr[:, oi * to:(oi + 1) * to] = y
             if oi == no - 1:
                 h2 = h_scr[:] + o_scr[:]
@@ -230,14 +230,14 @@ def _temporal_kernel(off_ref, r_ref, h0_ref, cosf_ref, sinm_ref,
         @pl.when(s == g0 + gi)
         def _gate(gi=gi):
             y = _q4k_dot(xn_scr[:].astype(jnp.bfloat16), xs_scr[:],
-                         glu_q.at[0], glu_es.at[0], glu_em.at[0])
+                         glu_q, glu_es, glu_em)
             g_scr[:, gi * tg:(gi + 1) * tg] = y
 
     for vi in range(ng):
         @pl.when(s == g0 + ng + vi)
         def _value(vi=vi):
             y = _q4k_dot(xn_scr[:].astype(jnp.bfloat16), xs_scr[:],
-                         glu_q.at[0], glu_es.at[0], glu_em.at[0])
+                         glu_q, glu_es, glu_em)
             g = g_scr[:, vi * tg:(vi + 1) * tg]
             hv_scr[:, vi * tg:(vi + 1) * tg] = _silu(g) * y
             if vi == ng - 1:
@@ -248,7 +248,7 @@ def _temporal_kernel(off_ref, r_ref, h0_ref, cosf_ref, sinm_ref,
         @pl.when(s == l0 + si)
         def _lout(si=si):
             y = _q4k_dot(hv_scr[:].astype(jnp.bfloat16), lxs_scr[:],
-                         lo_q.at[0], lo_es.at[0], lo_em.at[0])
+                         lo_q, lo_es, lo_em)
             o_scr[:, si * tl:(si + 1) * tl] = y
             if si == nl - 1:
                 h3 = h_scr[:] + o_scr[:]
@@ -297,8 +297,13 @@ def temporal_full_step(h, k_cache, v_cache, offset, cos_sin, weights, *,
     l0 = g0 + 2 * ng
 
     def qt3(w):
+        """Flatten stacked [L, O, c] quant components to 2-D [L*O, c]:
+        Mosaic rejects >=2-D block views whose lane dim is not a
+        128-multiple (es/em are O x K/32), but 2-D blocks with full-array
+        lane dims are the proven qmatmul layout."""
         qt = w.with_eff_scales()
-        return qt.q, qt.es, qt.em
+        return tuple(a.reshape((-1,) + a.shape[2:])
+                     for a in (qt.q, qt.es, qt.em))
 
     qkv = qt3(weights["qkv"])
     out = qt3(weights["out"])
@@ -308,21 +313,21 @@ def temporal_full_step(h, k_cache, v_cache, offset, cos_sin, weights, *,
     def clamp(x, lo_, hi_):
         return jnp.clip(x, lo_, hi_)
 
-    def wspec(arr, rows, start, count, gate_offset=None):
-        """Row-tiled stage spec: advance the row tile over this operand's
-        [start, start+count) stage range, hold the edge tile outside it.
-        gate_offset shifts the tile index (GLU value rows follow gate
-        rows in the same fused weight)."""
+    def wspec(arr, rows, start, count, tiles_per_layer=None):
+        """Row-tiled stage spec over a flattened [L*O, c] operand: tile
+        index = layer * tiles_per_layer + stage-within-range (held at the
+        range edge outside it)."""
         cols = arr.shape[-1]
+        tpl = tiles_per_layer if tiles_per_layer is not None else count
 
         def idx(l, s):
-            t = clamp(s - start, 0, count - 1)
-            if gate_offset is not None:
-                t = t + gate_offset
-            return (l, t, 0)
+            return (l * tpl + clamp(s - start, 0, count - 1), 0)
 
-        return pl.BlockSpec((1, rows, cols), idx, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((rows, cols), idx, memory_space=pltpu.VMEM)
 
+    kv_spec = pl.BlockSpec(
+        (chunk, dd), lambda l, s: (l * na + clamp(s - a0, 0, na - 1), 0),
+        memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),     # offset
         pl.BlockSpec(memory_space=pltpu.SMEM),     # slot r
@@ -332,21 +337,15 @@ def temporal_full_step(h, k_cache, v_cache, offset, cos_sin, weights, *,
                      memory_space=pltpu.VMEM),     # cos flat
         pl.BlockSpec((1, dd), lambda l, s: (0, 0),
                      memory_space=pltpu.VMEM),     # sin flat (sign-folded)
-        pl.BlockSpec((1, chunk, dd),
-                     lambda l, s: (l, clamp(s - a0, 0, na - 1), 0),
-                     memory_space=pltpu.VMEM),     # k cache chunks
-        pl.BlockSpec((1, chunk, dd),
-                     lambda l, s: (l, clamp(s - a0, 0, na - 1), 0),
-                     memory_space=pltpu.VMEM),     # v cache chunks
+        kv_spec, kv_spec,
         wspec(qkv[0], tq, 0, nq), wspec(qkv[1], tq, 0, nq),
         wspec(qkv[2], tq, 0, nq),
         wspec(out[0], to, o0, no), wspec(out[1], to, o0, no),
         wspec(out[2], to, o0, no),
-        # gate tiles advance over [g0, g0+ng), value tiles (same operand,
-        # rows offset by `hidden`) over [g0+ng, g0+2ng)
-        _glu_spec(glu[0], tg, g0, ng),
-        _glu_spec(glu[1], tg, g0, ng),
-        _glu_spec(glu[2], tg, g0, ng),
+        # gate tiles advance over [g0, g0+ng), value tiles (rows offset by
+        # `hidden` in the same fused weight) over [g0+ng, g0+2ng)
+        wspec(glu[0], tg, g0, 2 * ng), wspec(glu[1], tg, g0, 2 * ng),
+        wspec(glu[2], tg, g0, 2 * ng),
         wspec(lo[0], tl, l0, nl), wspec(lo[1], tl, l0, nl),
         wspec(lo[2], tl, l0, nl),
         pl.BlockSpec((1, 1, dd), lambda l, s: (l, 0, 0),
@@ -404,18 +403,9 @@ def temporal_full_step(h, k_cache, v_cache, offset, cos_sin, weights, *,
     )(offset.reshape(1).astype(jnp.int32),
       (offset % cap).reshape(1).astype(jnp.int32),
       h.astype(jnp.float32), cos_f, sin_m,
-      k_cache, v_cache, *qkv, *out, *glu, *lo,
+      k_cache.reshape(nlayers * cap_pad, dd),
+      v_cache.reshape(nlayers * cap_pad, dd),
+      *qkv, *out, *glu, *lo,
       weights["n1"].reshape(nlayers, 1, dd).astype(jnp.float32),
       weights["n2"].reshape(nlayers, 1, dd).astype(jnp.float32))
     return h_out, k_new, v_new
-
-
-def _glu_spec(arr, tg, g0, ng):
-    cols = arr.shape[-1]
-
-    def idx(l, s):
-        # gate tiles 0..ng-1 over stages [g0, g0+ng); value tiles
-        # ng..2ng-1 over [g0+ng, g0+2ng)
-        return (l, jnp.clip(s - g0, 0, 2 * ng - 1), 0)
-
-    return pl.BlockSpec((1, tg, cols), idx, memory_space=pltpu.VMEM)

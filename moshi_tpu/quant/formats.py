@@ -242,6 +242,19 @@ def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.astype(dtype)
 
 
+def flatten_lead(qt: QuantTensor) -> QuantTensor:
+    """Merge the two leading axes of a stacked QuantTensor: [W, O, ...]
+    components become [W*O, ...], i.e. the stacked weight is viewed as one
+    tall [W*O, I] matrix (used to batch per-step projections into a single
+    matmul: y = x @ W_all.T -> reshape [W, O])."""
+    def f(a):
+        return None if a is None else a.reshape((-1,) + a.shape[2:])
+    w, o = qt.q.shape[:2]
+    i = qt.shape[-1]
+    return QuantTensor(qt.fmt, (w * o, i), f(qt.q), f(qt.d), f(qt.sc),
+                       f(qt.mn), f(qt.dmin), f(qt.es), f(qt.em))
+
+
 def dequantize_rows(qt: QuantTensor, rows: jnp.ndarray, dtype=jnp.bfloat16):
     """Gather + dequantize selected rows (embedding lookup on packed data).
 
