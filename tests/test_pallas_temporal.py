@@ -34,8 +34,11 @@ def test_megakernel_matches_xla_stack():
     contents match the XLA stack within bf16-attention tolerance."""
     tcfg = _cfg.transformer
     tp = _tparams()
-    assert can_use_temporal_megakernel.__wrapped__(tcfg, tp, 1) \
-        if hasattr(can_use_temporal_megakernel, "__wrapped__") else True
+    enable_pallas(True)
+    try:
+        assert can_use_temporal_megakernel(tcfg, tp, 1)
+    finally:
+        enable_pallas(False)
     state_std = init_transformer_state(tcfg, 1)
     state_flat = init_transformer_state(tcfg, 1, flat=True)
     key = jax.random.PRNGKey(7)
