@@ -86,17 +86,27 @@ def _rms(h, alpha):
 def plan_stages(dd: int, hidden: int, cap: int):
     """Static stage plan: (TQ, TO, TG, TL, chunk, cap_pad, nq, na, no, ng,
     nl).  Tiles divide their row counts and are 128-multiples (output
-    lane-dim constraint) wherever the dim allows."""
+    lane-dim constraint) wherever the dim allows.
+
+    Hardware A/B knob: MOSHI_TPU_TEMPORAL_TILES="tq=1024,tg=2816,..."
+    overrides the targets (read once per process)."""
+    import os
+    ov = {}
+    for kv in os.environ.get("MOSHI_TPU_TEMPORAL_TILES", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=")
+            ov[k.strip()] = int(v)
+
     def tile(total, target):
         for t in range(target, 0, -128):
             if t <= total and total % t == 0:
                 return t
         return total
-    tq = tile(dd, 2048)
-    to = tile(dd, 2048)
-    tg = tile(hidden, 5632)
-    tl = tile(dd, 2048)
-    chunk = min(512, -(-cap // 128) * 128)
+    tq = tile(dd, ov.get("tq", 2048))
+    to = tile(dd, ov.get("to", 2048))
+    tg = tile(hidden, ov.get("tg", 5632))
+    tl = tile(dd, ov.get("tl", 2048))
+    chunk = min(ov.get("chunk", 512), -(-cap // 128) * 128)
     cap_pad = -(-cap // chunk) * chunk
     nq = 3 * dd // tq
     na = cap_pad // chunk
