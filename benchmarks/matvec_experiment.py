@@ -29,12 +29,17 @@ import time
 import numpy as np
 
 
-def med_ms(fn, iters=50):
-    fn()
+def med_ms(fn, iters=50, nvar=8):
+    """fn(i) with i cycling over nvar distinct input variants: identical
+    input buffers appear to be memoized by this runtime (2.7 TB/s
+    "bandwidths"), and any host fetch would flip it into a ~22 ms/call
+    sync mode — so vary inputs, never fetch."""
+    import jax
+    fn(0)
     ts = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        fn()
+        fn((i % nvar) + 1 if nvar else 0)
         ts.append((time.perf_counter() - t0) * 1000)
     return float(np.median(ts))
 
@@ -64,18 +69,23 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     O, K = args.o, args.k
-    key = jax.random.PRNGKey(0)
-    w = jax.random.normal(key, (O, K), jnp.bfloat16) * 0.02
-    wt = jnp.asarray(w.T)                                 # [K, O]
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, K), jnp.float32)
+    rng0 = np.random.default_rng(0)
+    w_np = (rng0.standard_normal((O, K)) * 0.02).astype(np.float32)
+    w = jax.device_put(jnp.asarray(w_np).astype(jnp.bfloat16))
+    wt = jax.device_put(jnp.asarray(w_np.T).astype(jnp.bfloat16))
+    rng = np.random.default_rng(1)
+    xs_np = [rng.standard_normal((1, K)).astype(np.float32)
+             for _ in range(9)]
+    xs = [jax.device_put(v) for v in xs_np]
+    x = xs[0]
     gb = O * K * 2 / 1e9
 
     # ---- A: XLA dense ----------------------------------------------------
     fa = jax.jit(lambda x, w: jax.lax.dot_general(
         x.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32))
-    ya = np.asarray(fa(x, w))
-    ta = med_ms(lambda: jax.block_until_ready(fa(x, w)), args.iters)
+    jax.block_until_ready(fa(x, w))
+    ta = med_ms(lambda i: jax.block_until_ready(fa(xs[i], w)), args.iters)
     print(f"A xla dense:      {ta:.3f} ms  {gb/ta*1000:.0f} GB/s",
           flush=True)
 
@@ -97,10 +107,11 @@ def main():
         out_specs=pl.BlockSpec((1, TO), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, w))
-    yb = np.asarray(fb(x, w))
-    np.testing.assert_allclose(yb, ya, rtol=2e-2, atol=2e-2)
-    tb = med_ms(lambda: jax.block_until_ready(fb(x, w)), args.iters)
+    jax.block_until_ready(fb(x, w))
+    tb = med_ms(lambda i: jax.block_until_ready(fb(xs[i], w)), args.iters)
     print(f"B pallas MXU:     {tb:.3f} ms  {gb/tb*1000:.0f} GB/s",
           flush=True)
 
@@ -133,48 +144,29 @@ def main():
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, O), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, TO2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xt, wt))
-    yc = np.asarray(fc(x.reshape(K, 1), wt))
-    np.testing.assert_allclose(yc, ya, rtol=2e-2, atol=2e-2)
-    tc = med_ms(lambda: jax.block_until_ready(fc(x.reshape(K, 1), wt)),
+    xts = [xv.reshape(K, 1) for xv in xs]
+    jax.block_until_ready(fc(xts[0], wt))
+    tc = med_ms(lambda i: jax.block_until_ready(fc(xts[i], wt)),
                 args.iters)
     print(f"C pallas VPU-T:   {tc:.3f} ms  {gb/tc*1000:.0f} GB/s",
           flush=True)
 
     # ---- D: pallas VPU transposed q4_k (block-interleaved rows) ---------
-    from moshi_tpu.quant.formats import QK, dequantize, quantize
-    qt = quantize(np.asarray(w, np.float32), "q4_k")
+    # synthetic packed bits, pure-numpy prep: fetching device arrays for
+    # host-side transposes would poison the process (see med_ms)
+    QK = 32
     K2 = K // 2
     CKP = 256                  # packed rows per chunk (512 unpacked)
-    NB = CKP // QK             # packed 32-blocks per chunk (lo) = 8
+    NB = CKP // QK
     nkc = K2 // CKP
-
-    def interleave(rows_mat, block):
-        """[R, O] -> same rows permuted so chunk-local row j*nb+b holds
-        original row b*block + j of that chunk (nb = chunk blocks)."""
-        r, o = rows_mat.shape
-        nb = CKP // block if block == QK else CKP // block
-        out = rows_mat.reshape(nkc, NB, QK, o) if block == QK else None
-        out = np.transpose(out, (0, 2, 1, 3))      # [nkc, 32, nb, O]
-        return np.ascontiguousarray(out.reshape(r, o))
-
-    qT = np.asarray(qt.q).T                        # [K2, O] u8
-    qTi = jnp.asarray(interleave(qT, QK))
-    esT = np.asarray(qt.es.astype(jnp.float32)).T  # [K/32, O]
-    emT = np.asarray(qt.em.astype(jnp.float32)).T
-    # es rows grouped per chunk: lo-half blocks for chunk ki are rows
-    # [ki*NB, +NB); hi-half are [K2/QK + ki*NB, +NB) -> stack as
-    # [nkc, 2*NB, O]
-    es_lo = esT[: K2 // QK].reshape(nkc, NB, O)
-    es_hi = esT[K2 // QK:].reshape(nkc, NB, O)
-    es_c = jnp.asarray(np.concatenate([es_lo, es_hi], 1).reshape(-1, O),
-                       jnp.float32)                # [nkc*2NB, O]
-    em_lo = emT[: K2 // QK].reshape(nkc, NB, O)
-    em_hi = emT[K2 // QK:].reshape(nkc, NB, O)
-    em_c = jnp.asarray(np.concatenate([em_lo, em_hi], 1).reshape(-1, O),
-                       jnp.float32)
-    # x permuted to match: lo chunk rows interleaved, then hi
-    x_np = np.asarray(x[0], np.float32)
+    qTi = jax.device_put(rng0.integers(0, 256, (K2, O), np.uint8))
+    es_c = jax.device_put(
+        (rng0.standard_normal((nkc * 2 * NB, O)) * 1e-3).astype(np.float32))
+    em_c = jax.device_put(
+        (rng0.standard_normal((nkc * 2 * NB, O)) * 1e-3).astype(np.float32))
 
     def xperm(v):
         lo = v[:K2].reshape(nkc, NB, QK)
@@ -182,8 +174,6 @@ def main():
         lo = np.transpose(lo, (0, 2, 1)).reshape(nkc, CKP)
         hi = np.transpose(hi, (0, 2, 1)).reshape(nkc, CKP)
         return np.concatenate([lo, hi], 1).reshape(-1, 1)  # [2K2, 1]
-
-    x_i = jnp.asarray(xperm(x_np))
 
     def q4kt_kernel(xt_ref, q_ref, es_ref, em_ref, o_ref, acc):
         ki = pl.program_id(1)
@@ -229,18 +219,83 @@ def main():
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, O), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, TO2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xi, q, es, em))
-    yd = np.asarray(fd(x_i, qTi, es_c, em_c))
-    ref = np.asarray(x, np.float32) @ np.asarray(
-        dequantize(qt, jnp.float32)).T
-    err = np.abs(yd - ref).max() / (np.abs(ref).mean() + 1e-9)
-    print(f"D q4_k rel err:   {err:.5f}", flush=True)
-    gbq = qt.nbytes / 1e9
-    td = med_ms(lambda: jax.block_until_ready(fd(x_i, qTi, es_c, em_c)),
+    x_is = [jax.device_put(xperm(v[0])) for v in xs_np]
+    jax.block_until_ready(fd(x_is[0], qTi, es_c, em_c))
+    gbq = (qTi.size + es_c.size * 4 + em_c.size * 4) / 1e9
+    td = med_ms(lambda i: jax.block_until_ready(fd(x_is[i], qTi, es_c, em_c)),
                 args.iters)
     print(f"D pallas VPU-q4k: {td:.3f} ms  {gbq/td*1000:.0f} GB/s packed "
           f"({gb/td*1000:.0f} GB/s bf16-equiv)", flush=True)
 
+    # ---- E: the CURRENT row-major q4_k kernel (qmatmul_pallas) ----------
+    from moshi_tpu.quant.formats import QuantTensor, enable_pallas
+    from moshi_tpu.quant.pallas_matmul import qmatmul_pallas
+    q_rm = jax.device_put(rng0.integers(0, 256, (O, K2), np.uint8))
+    es_rm = jax.device_put(
+        (rng0.standard_normal((O, K // 32)) * 1e-3).astype(np.float32)
+        .astype(jnp.bfloat16))
+    em_rm = jax.device_put(
+        (rng0.standard_normal((O, K // 32)) * 1e-3).astype(np.float32)
+        .astype(jnp.bfloat16))
+    d_dummy = jax.device_put(np.ones((O, K // 256), np.float32)
+                             .astype(jnp.bfloat16))
+    qt_rm = QuantTensor("q4_k", (O, K), q_rm, d_dummy, es=es_rm, em=em_rm)
+    # NOTE pass qt as an ARG: closing over device arrays embeds them as
+    # jaxpr constants, whose bytes jax fetches at trace time -> poisons
+    # the process into the 22 ms sync mode
+    fe = jax.jit(lambda x, qt: qmatmul_pallas(x, qt))
+    jax.block_until_ready(fe(xs[0], qt_rm))
+    te = med_ms(lambda i: jax.block_until_ready(fe(xs[i], qt_rm)),
+                args.iters)
+    print(f"E rowmajor q4_k:  {te:.3f} ms  {gbq/te*1000:.0f} GB/s packed "
+          f"({gb/te*1000:.0f} GB/s bf16-equiv)", flush=True)
+
+
+def grid_overhead():
+    """F: per-grid-step cost of a 640-step kernel whose body has 20
+    pl.when stage branches (the temporal megakernel's control shape)
+    doing tiny VPU work — isolates stage-sequencing overhead."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, o_ref, acc):
+        li = pl.program_id(0)
+        st = pl.program_id(1)
+
+        @pl.when((li == 0) & (st == 0))
+        def _z():
+            acc[:] = x_ref[:]
+        for i in range(20):
+            @pl.when(st == i)
+            def _s(i=i):
+                acc[:] = acc[:] * 1.0000001 + float(i)
+
+        @pl.when((li == 31) & (st == 19))
+        def _w():
+            o_ref[:] = acc[:]
+
+    f = jax.jit(lambda x: pl.pallas_call(
+        kern, grid=(32, 20),
+        in_specs=[pl.BlockSpec((8, 128), lambda l, s: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 128), lambda l, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )(x))
+    xs = [jax.device_put(np.random.default_rng(i).standard_normal(
+        (8, 128)).astype(np.float32)) for i in range(9)]
+    jax.block_until_ready(f(xs[0]))
+    t = med_ms(lambda i: jax.block_until_ready(f(xs[i])), 50)
+    print(f"F 640-step grid:  {t:.3f} ms -> {t/640*1000:.2f} us/step",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
+    grid_overhead()

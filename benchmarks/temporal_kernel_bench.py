@@ -44,22 +44,31 @@ def main():
     cap_pad = plan_stages(dd, cfg.hidden_dim, cap)[5]
     k_cache = jnp.zeros((tc.num_layers, cap_pad, dd), jnp.bfloat16)
     v_cache = jnp.zeros_like(k_cache)
-    h = jnp.ones((1, dd), jnp.float32) * 0.01
+    # weights/cos_sin as ARGS (closure device arrays become jaxpr
+    # constants -> trace-time fetch -> 22 ms/call sync poison), varying
+    # h/pos per call (identical input buffers appear memoized), no
+    # device->host fetch anywhere
+    rng = np.random.default_rng(0)
+    hs = [jax.device_put(rng.standard_normal((1, dd)).astype(np.float32)
+                         * 0.01) for _ in range(9)]
+
+    def step(h, k, v, p, cs, w):
+        return temporal_full_step(
+            h, k, v, p, cs, w, cap=cap, context=tc.context,
+            heads=tc.num_heads, hidden=cfg.hidden_dim,
+            nlayers=tc.num_layers)
+
+    f = jax.jit(step)
     pos = jnp.int32(1500)
     cos_sin = rope_angles(pos[None], hd, tc.rope_max_period)
-
-    f = jax.jit(lambda h, k, v, p: temporal_full_step(
-        h, k, v, p, cos_sin, weights, cap=cap, context=tc.context,
-        heads=tc.num_heads, hidden=cfg.hidden_dim,
-        nlayers=tc.num_layers))
     t0 = time.perf_counter()
-    out = f(h, k_cache, v_cache, pos)
+    out = f(hs[0], k_cache, v_cache, pos, cos_sin, weights)
     jax.block_until_ready(out)
     print(f"compile+first: {time.perf_counter() - t0:.1f} s", flush=True)
     ts = []
-    for _ in range(args.iters):
+    for i in range(args.iters):
         t0 = time.perf_counter()
-        out = f(h, k_cache, v_cache, pos)
+        out = f(hs[i % 9], k_cache, v_cache, pos, cos_sin, weights)
         jax.block_until_ready(out)
         ts.append((time.perf_counter() - t0) * 1000)
     print(f"temporal megakernel: p50 {np.median(ts):.1f} ms  "
