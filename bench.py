@@ -109,6 +109,10 @@ def main():
             out, state = pipe.step(mimi_params, params, state, audio_in)
             jax.block_until_ready(out["audio_out"])
             return state
+
+        def one_frame_async(state):
+            _, state = pipe.step(mimi_params, params, state, audio_in)
+            return state
     else:
         state = init_gen_state(cfg, args.batch, params=params)
         n_other = cfg.n_q - cfg.dep_q
@@ -122,6 +126,10 @@ def main():
         def one_frame(state):
             out, state = lm_step(params, state, other)
             jax.block_until_ready(out["audio"])
+            return state
+
+        def one_frame_async(state):
+            _, state = lm_step(params, state, other)
             return state
 
     # warmup / compile — if the fused-kernel path fails to compile on
@@ -161,10 +169,21 @@ def main():
     if prof is not None:
         prof.__exit__(None, None, None)
 
+    # throughput phase: enqueue the whole run and block once at the end
+    # (the reference's --bench is a tight wall-clock loop too,
+    # moshi-sts.cpp:770-806; frame n+1 depends on frame n's state so this
+    # measures the true sequential frame rate with dispatch overlapped,
+    # which is what a production host-local deployment sees)
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        state = one_frame_async(state)
+    jax.block_until_ready(state)
+    thr_ms = (time.perf_counter() - t0) * 1000 / args.frames
+
     p50 = float(np.percentile(lat, 50) * 1000)
-    # median-based fps: robust to one-off stalls (tunnel hiccups, a stray
-    # recompile)
-    fps = 1000.0 / p50
+    # headline fps from the pipelined wall-clock (reference methodology);
+    # p50_ms reports the per-frame-blocked latency incl. tunnel RPC
+    fps = 1000.0 / thr_ms
     baseline = 19.49  # RTX 2070 sts-q4_k fps (BASELINE.md row 1)
     result = {
         "metric": "sts_frames_per_sec_7b_q4k" if not args.small
@@ -173,6 +192,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
         "p50_ms": round(p50, 2),
+        "pipelined_ms": round(thr_ms, 2),
         "realtime_x": round(fps / 12.5, 2),
         "device": str(jax.devices()[0]),
         "fmt": args.fmt,

@@ -357,7 +357,10 @@ def _per_step_weights(cfg: LMConfig, dep):
 def _can_use_dep_megakernel(cfg: LMConfig, dep, b: int) -> bool:
     """Whole-layer depformer megakernel preconditions: pallas on, B=1,
     no rope, rms norms, q4_k weights without biases."""
+    import os
     from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
+    if os.environ.get("MOSHI_TPU_NO_MEGAKERNEL"):
+        return False
     if not (pallas_enabled() and b == 1):
         return False
     if cfg.depformer.rope_max_period or not cfg.depformer.gating:

@@ -120,7 +120,10 @@ def can_use_temporal_megakernel(cfg: TransformerConfig, params,
     """Whole-stack megakernel preconditions (nn/pallas_temporal.py):
     pallas on, B=1, rope + rms norms + silu gating, no cross-attn /
     layer-scale / biases, all four projections q4_k QuantTensors."""
+    import os
     from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
+    if os.environ.get("MOSHI_TPU_NO_MEGAKERNEL"):
+        return False
     if not (pallas_enabled() and batch == 1):
         return False
     if cfg.cross_attention or cfg.use_layer_scale:
