@@ -109,3 +109,21 @@ def test_megakernel_lowers_for_tpu():
         f.trace(params, state).lower(lowering_platforms=("tpu",))
     finally:
         enable_pallas(False)
+
+
+def test_no_megakernel_env_knob(monkeypatch):
+    """MOSHI_TPU_NO_MEGAKERNEL forces the scan layout even when the
+    megakernel preconditions hold (hardware A/B switch)."""
+    tcfg = _cfg.transformer
+    tp = _tparams()
+    enable_pallas(True)
+    try:
+        assert can_use_temporal_megakernel(tcfg, tp, 1)
+        monkeypatch.setenv("MOSHI_TPU_NO_MEGAKERNEL", "1")
+        assert not can_use_temporal_megakernel(tcfg, tp, 1)
+        params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
+        state = init_gen_state(_cfg, 1, jax.random.PRNGKey(5),
+                               params=params)
+        assert state["transformer"]["k"].ndim == 5   # [L, B, cap, H, hd]
+    finally:
+        enable_pallas(False)
