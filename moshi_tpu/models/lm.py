@@ -359,7 +359,8 @@ def _can_use_dep_megakernel(cfg: LMConfig, dep, b: int) -> bool:
     no rope, rms norms, q4_k weights without biases."""
     import os
     from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
-    if os.environ.get("MOSHI_TPU_NO_MEGAKERNEL"):
+    # OPT-IN only — see nn/transformer.can_use_temporal_megakernel
+    if os.environ.get("MOSHI_TPU_MEGAKERNEL", "") not in ("dep", "all"):
         return False
     if not (pallas_enabled() and b == 1):
         return False

@@ -122,7 +122,12 @@ def can_use_temporal_megakernel(cfg: TransformerConfig, params,
     layer-scale / biases, all four projections q4_k QuantTensors."""
     import os
     from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
-    if os.environ.get("MOSHI_TPU_NO_MEGAKERNEL"):
+    # OPT-IN only: the hardware A/B (BENCH_NOTES.md) measured the
+    # whole-stack megakernel at 93 ms/frame vs 42 ms for the layer scan
+    # over per-op pallas kernels — single-step lookahead block prefetch
+    # cannot hide the weight streaming that XLA's async pipeline overlaps
+    # across ops.  Kept for re-evaluation on other toolchain versions.
+    if os.environ.get("MOSHI_TPU_MEGAKERNEL", "") not in ("temporal", "all"):
         return False
     if not (pallas_enabled() and batch == 1):
         return False

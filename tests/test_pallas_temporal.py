@@ -1,5 +1,10 @@
 """Temporal-stack megakernel (nn/pallas_temporal.py) vs the XLA path.
 
+The megakernel is OPT-IN (MOSHI_TPU_MEGAKERNEL=temporal|dep|all) since
+the hardware A/B measured it slower than the layer scan over per-op
+pallas kernels (BENCH_NOTES.md); these tests keep it correct for
+re-evaluation on future toolchains.
+
 Interpret mode on CPU for numerics (ring wrap-around included), plus TPU
 cross-lowering for the Mosaic block rules that interpret mode skips."""
 
@@ -24,12 +29,17 @@ _cfg = LMConfig(
     depformer_hidden=256, depformer_low_rank=16)
 
 
+@pytest.fixture
+def megakernel_env(monkeypatch):
+    monkeypatch.setenv("MOSHI_TPU_MEGAKERNEL", "all")
+
+
 def _tparams():
     return synth_lm_params(jax.random.PRNGKey(0), _cfg,
                            fmt="q4_k")["transformer"]
 
 
-def test_megakernel_matches_xla_stack():
+def test_megakernel_matches_xla_stack(megakernel_env):
     """20 decode steps (ring wraps at context=16): outputs and cache
     contents match the XLA stack within bf16-attention tolerance."""
     tcfg = _cfg.transformer
@@ -63,7 +73,7 @@ def test_megakernel_matches_xla_stack():
                                k_std.astype(np.float32), atol=2e-2)
 
 
-def test_megakernel_e2e_lm_step():
+def test_megakernel_e2e_lm_step(megakernel_env):
     """Full lm_gen_step with the flat-KV layout vs the XLA path: greedy
     tokens over several frames."""
     params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
@@ -97,7 +107,7 @@ def test_megakernel_e2e_lm_step():
         np.testing.assert_array_equal(got[f][1], ref[f][1])
 
 
-def test_megakernel_lowers_for_tpu():
+def test_megakernel_lowers_for_tpu(megakernel_env):
     params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
     enable_pallas(True)
     try:
@@ -111,19 +121,20 @@ def test_megakernel_lowers_for_tpu():
         enable_pallas(False)
 
 
-def test_no_megakernel_env_knob(monkeypatch):
-    """MOSHI_TPU_NO_MEGAKERNEL forces the scan layout even when the
-    megakernel preconditions hold (hardware A/B switch)."""
+def test_megakernel_default_off(monkeypatch):
+    """Without the opt-in env the scan layout is chosen even when the
+    megakernel preconditions would otherwise hold."""
     tcfg = _cfg.transformer
     tp = _tparams()
     enable_pallas(True)
     try:
-        assert can_use_temporal_megakernel(tcfg, tp, 1)
-        monkeypatch.setenv("MOSHI_TPU_NO_MEGAKERNEL", "1")
+        monkeypatch.delenv("MOSHI_TPU_MEGAKERNEL", raising=False)
         assert not can_use_temporal_megakernel(tcfg, tp, 1)
         params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
         state = init_gen_state(_cfg, 1, jax.random.PRNGKey(5),
                                params=params)
         assert state["transformer"]["k"].ndim == 5   # [L, B, cap, H, hd]
+        monkeypatch.setenv("MOSHI_TPU_MEGAKERNEL", "all")
+        assert can_use_temporal_megakernel(tcfg, tp, 1)
     finally:
         enable_pallas(False)
