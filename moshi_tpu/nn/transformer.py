@@ -214,8 +214,12 @@ def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
 
 # layer-scan unroll factor: >1 trades compile time for fewer sequential
 # loop iterations (set via set_scan_unroll; perf experiments showed XLA
-# loop overhead can dominate B=1 decode on some runtimes)
-SCAN_UNROLL = 1
+# loop overhead can dominate B=1 decode on some runtimes).  Unrolling
+# also turns the per-iteration dynamic-slice of stacked weights into
+# static slices XLA can prefetch ahead of each kernel.
+import os as _os
+
+SCAN_UNROLL = max(int(_os.environ.get("MOSHI_TPU_SCAN_UNROLL", "1")), 1)
 
 
 def set_scan_unroll(n: int):
