@@ -9,7 +9,8 @@ Methodology (CLAUDE.md): vary an input per call (identical input sets
 appear memoized by this runtime), pass weights as jit ARGS (closure
 device arrays are fetched at trace time and poison the process into a
 ~22 ms/call sync mode), block per call, never fetch device->host.
-Honors MOSHI_TPU_NO_MEGAKERNEL (scan layout A/B).
+Default layout is the lax.scan path; set MOSHI_TPU_MEGAKERNEL=
+temporal|dep|all to A/B the opt-in megakernels.
 
 Usage: python benchmarks/probe.py [--iters N] [--fmt q4_k]
 """

@@ -34,8 +34,8 @@ class TTSConfig:
 @dataclass
 class STTConfig:
     # reference: include/moshi/moshi.h:94-97 (defaults config.h:151-152)
-    audio_delay_seconds: float = 0.5
-    audio_silence_prefix_seconds: float = 0.0
+    audio_delay_seconds: float = 5.0
+    audio_silence_prefix_seconds: float = 1.0
 
 
 @dataclass

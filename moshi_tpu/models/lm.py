@@ -412,6 +412,11 @@ def _can_use_dep_frame_kernel(cfg: LMConfig, dep, step_w, b: int) -> bool:
     lrw = step_w["emb"]["low_rank"]["weight"]
     if isinstance(ew, QuantTensor) or isinstance(lrw, QuantTensor):
         return False
+    # the kernel computes pure matmuls; any bias a checkpoint might carry
+    # would be silently dropped -> fall back to the scan path instead
+    for mod in (step_w["in"], step_w["linears"], step_w["emb"]["low_rank"]):
+        if mod.get("bias") is not None:
+            return False
     return True
 
 

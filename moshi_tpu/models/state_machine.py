@@ -67,7 +67,7 @@ class MachineState:
 
 class StateMachine:
     def __init__(self, text_card: int, second_stream_ahead: int = 0,
-                 max_padding: int = 6, initial_padding: int = 2):
+                 max_padding: int = 8, initial_padding: int = 2):
         self.token_ids = TokenIds(card=text_card)
         self.second_stream_ahead = second_stream_ahead
         self.max_padding = max_padding

@@ -300,6 +300,14 @@ def temporal_full_step(h, k_cache, v_cache, offset, cos_sin, weights, *,
     hd = dd // heads
     tq, to, tg, tl, chunk, cap_pad, nq, na, no, ng, nl = plan_stages(
         dd, hidden, cap)
+    # plan_stages is lru_cached and reads MOSHI_TPU_TEMPORAL_TILES once
+    # per process; state allocated under a different plan (other process,
+    # env mutated after first call) must fail loudly, not corrupt rings.
+    if k_cache.shape[1] != cap_pad:
+        raise ValueError(
+            f"KV ring cap_pad {k_cache.shape[1]} != plan cap_pad {cap_pad}"
+            " (state was allocated under a different tile plan; "
+            "MOSHI_TPU_TEMPORAL_TILES is read once per process)")
     nstages = nq + na + no + 2 * ng + nl
     a0 = nq
     o0 = a0 + na

@@ -235,6 +235,13 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
     cross_kv: optional {k, v: [L, B, S, H, hd]} per-layer cross K/V.
     Returns (y, new_state)."""
     if state["k"].ndim == 3:       # flat megakernel layout [L, cap_pad, D]
+        # the megakernel is decode-only: T>1 (prefill) or cross-attention
+        # against a flat-layout state must fail loudly, not drop tokens
+        if x.shape[1] != 1 or cross_kv is not None:
+            raise ValueError(
+                "flat megakernel KV layout only supports T=1 decode "
+                f"without cross-attention (got T={x.shape[1]}, "
+                f"cross_kv={'set' if cross_kv is not None else 'None'})")
         return _forward_megakernel(cfg, params, state, x, offset)
     layers = params["layers"]
     kv = {"k": state["k"], "v": state["v"]}

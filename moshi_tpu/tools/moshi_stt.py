@@ -53,7 +53,12 @@ def main(argv=None):
                                "card": 2048, "text_card": 4000,
                                "delays": [0] + [1] * 8,
                                "extra_heads_num_heads": 4,
-                               "hidden_scale": 4.0})
+                               "hidden_scale": 4.0,
+                               # tiny synthetic model: keep the (normally
+                               # 5.0s/1.0s, config.h:151-152) delays short
+                               "stt_config": {
+                                   "audio_delay_seconds": 0.5,
+                                   "audio_silence_prefix_seconds": 0.0}})
     args.stt = True
     import jax
     import jax.numpy as jnp
@@ -82,13 +87,16 @@ def main(argv=None):
     seg_tokens = []
     seg_start = None
     pad_id = config.existing_text_padding_id
+    # text lags the audio by audio_delay_seconds; subtitle timestamps must
+    # subtract that delay (reference: moshi-stt.cpp:438,622,644)
+    stt_frame_delay = int(config.stt_config.audio_delay_seconds * 12.5)
     t0 = time.perf_counter()
     for f in range(n):
         frame = audio[f * FRAME_SIZE:(f + 1) * FRAME_SIZE][None]
         out, state = pipe.step(mimi_params, lm_params, state, frame)
         token = int(np.asarray(out["text"])[0])
         vad = float(np.asarray(out["vad"])[0])
-        ts = f / 12.5
+        ts = max(f - stt_frame_delay, 0) / 12.5
         if token not in (pad_id, 0, -2) and token >= 0:
             piece = tok.id_to_piece(token) if tok else f"<{token}>"
             pieces.append(piece)
@@ -101,7 +109,8 @@ def main(argv=None):
             seg_tokens, seg_start = [], None
     dt = time.perf_counter() - t0
     if seg_tokens:
-        srt_segments.append((seg_start, n / 12.5, "".join(seg_tokens)
+        end = max(n - stt_frame_delay, 0) / 12.5
+        srt_segments.append((seg_start, end, "".join(seg_tokens)
                              .replace("▁", " ").strip()))
     text = "".join(pieces).replace("▁", " ").strip()
     print(text)

@@ -88,4 +88,6 @@ def test_config_defaults():
     assert cfg.norm == "rms_norm_f32"
     assert cfg.positional_embedding == "rope"
     assert cfg.fuser.sum == ["control", "cfg"]
-    assert cfg.stt_config.audio_delay_seconds == 0.5
+    # reference defaults config.h:151-152
+    assert cfg.stt_config.audio_delay_seconds == 5.0
+    assert cfg.stt_config.audio_silence_prefix_seconds == 1.0
