@@ -132,12 +132,16 @@ def prime_system_prompts(cfg: LMConfig, params, state,
 
 
 def load_voice_file(path: str):
-    """Load a PersonaPlex voice safetensors: returns
+    """Load a PersonaPlex voice file (.safetensors or .gguf): returns
     (embeddings [T, dim] | None, cache [CT, K] | None, speaker_wavs | None).
     The cache ships [K, CT] (reference notes inverted dims,
-    lm.h:1038-1045)."""
-    from moshi_tpu.io.safetensors import SafeTensors
-    st = SafeTensors(path)
+    lm.h:1038-1045).  GGUF voices per moshi.cpp:789-836."""
+    if path.endswith(".gguf"):
+        from moshi_tpu.runtime.loader import _GGUFAdapter
+        st = _GGUFAdapter(path)
+    else:
+        from moshi_tpu.io.safetensors import SafeTensors
+        st = SafeTensors(path)
     emb = cache = wavs = None
     if "voice.embeddings" in st:
         emb = st["voice.embeddings"]

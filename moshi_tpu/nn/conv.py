@@ -178,3 +178,13 @@ def torch_convtr_weight_to_oiw(w: np.ndarray, groups: int = 1) -> np.ndarray:
     blocks = w.reshape(groups, ig, og, k)
     out = np.transpose(blocks, (0, 2, 1, 3)).reshape(groups * og, ig, k)
     return np.ascontiguousarray(out)
+
+
+def oiw_to_torch_convtr(w: np.ndarray, groups: int = 1) -> np.ndarray:
+    """Inverse of torch_convtr_weight_to_oiw: [O, I/g, K] -> [I, O/g, K]
+    (used when snapshotting params back to checkpoint layout, e.g. GGUF)."""
+    o, ig, k = w.shape
+    og = o // groups
+    blocks = w.reshape(groups, og, ig, k)
+    out = np.transpose(blocks, (0, 2, 1, 3)).reshape(groups * ig, og, k)
+    return np.ascontiguousarray(out)
