@@ -513,6 +513,144 @@ def _depformer_generate_megakernel(cfg: LMConfig, params, transformer_out,
     return jnp.moveaxis(tokens, 0, 1)                       # [B, dep_q]
 
 
+def _can_use_dep_stacked(cfg: LMConfig, step_w, b: int) -> bool:
+    """Copy-free depformer scan preconditions (mirrors
+    nn/transformer.can_use_stacked_decode): pallas on, rms norms + silu
+    gating, every hot projection a QuantTensor in a pallas layout with no
+    bias.  Megakernels (opt-in) take precedence when requested."""
+    import os
+    from moshi_tpu.quant.formats import (QuantTensor, pallas_enabled,
+                                         pallas_layout_ok)
+    if os.environ.get("MOSHI_TPU_NO_STACKED"):
+        return False
+    if not pallas_enabled():
+        return False
+    dcfg = cfg.depformer
+    if not dcfg.norm.startswith("rms_norm") or dcfg.gating != "silu":
+        return False
+    if dcfg.mha.cap < cfg.runtime_dep_q:
+        return False
+    mods = [step_w["attn"]["in_proj"], step_w["attn"]["out_proj"],
+            step_w["gating"]["linear_in"], step_w["gating"]["linear_out"],
+            step_w["in"], step_w["linears"]]
+    for lf in mods:
+        w = lf.get("weight")
+        if not (isinstance(w, QuantTensor) and pallas_layout_ok(w)):
+            return False
+        if lf.get("bias") is not None:
+            return False
+    if cfg.dep_q > 1:
+        if step_w["emb"]["low_rank"].get("bias") is not None:
+            return False
+    return True
+
+
+def _depformer_generate_stacked(cfg: LMConfig, params, transformer_out,
+                                text_token, keys, step_w,
+                                temp: float, top_k: int):
+    """Copy-free depformer: the (step, layer) scans pass WHOLE stacked
+    weight buffers into scalar-prefetch pallas kernels indexed by the
+    flat step*L+layer number, the per-frame KV rings live outside the
+    layer scan (one stacked DUS per step), and the token-independent
+    depformer_in projections batch into a single tall matmul up front.
+    Round 1 threaded every per-step weight as scan xs — each step
+    dynamic-slice-copied its full weight set before use."""
+    from moshi_tpu.nn.pallas_attention import decode_attention_stacked
+    from moshi_tpu.quant.formats import flatten_lead, qmatmul
+    from moshi_tpu.quant.pallas_matmul import (glu_matmul_pallas_stacked,
+                                               qmatmul_pallas_stacked)
+    dep = params["depformer"]
+    dcfg = cfg.depformer
+    dep_q = cfg.runtime_dep_q
+    b = transformer_out.shape[0]
+    nl, dd = dcfg.num_layers, dcfg.dim
+    nh, hd = dcfg.num_heads, dcfg.mha.head_dim
+    cap = dcfg.mha.cap
+    text_emb = _depformer_text_embed(cfg, dep, text_token)      # [B, dd]
+    h_in = qmatmul(transformer_out.astype(jnp.bfloat16),
+                   flatten_lead(step_w["in"]["weight"]))
+    h_in_all = jnp.moveaxis(h_in.reshape(b, dep_q, dd), 1, 0)   # [W, B, dd]
+    attn_in = step_w["attn"]["in_proj"]["weight"]               # [W, L, ...]
+    attn_out = step_w["attn"]["out_proj"]["weight"]
+    glu_in = step_w["gating"]["linear_in"]["weight"]
+    glu_out = step_w["gating"]["linear_out"]["weight"]
+    lin_w = step_w["linears"]["weight"]                         # [W, card, dd]
+    lay = dep["layers"]
+    # norms are per-layer (shared across steps): tile so row cb*L+l of the
+    # flat alpha matches the weights' flat (step, layer) row order
+    n1t = jnp.tile(lay["norm1"]["alpha"], (dep_q, 1))
+    n2t = jnp.tile(lay["norm2"]["alpha"], (dep_q, 1))
+    kv_dt = jnp.dtype(dcfg.kv_dtype)
+    kv0 = (jnp.zeros((nl, b, cap, nh, hd), kv_dt),
+           jnp.zeros((nl, b, cap, nh, hd), kv_dt))
+    use_rope = bool(dcfg.rope_max_period)
+
+    def step(carry, xs):
+        prev_token, (k_stack, v_stack) = carry
+        if cfg.dep_q > 1:
+            cb, k_cb, h, w_emb = xs
+            e = scaled_embedding({"weight": w_emb["weight"]}, prev_token)
+            audio_emb = linear(w_emb["low_rank"], e)
+            tok_emb = jnp.where(cb == 0, text_emb, audio_emb)
+        else:
+            cb, k_cb, h = xs
+            tok_emb = text_emb
+        hcur = (h + tok_emb).astype(jnp.bfloat16)               # [B, dd]
+        offset_b = jnp.full((b,), cb, jnp.int32)
+        cos_sin = None
+        if use_rope:
+            from moshi_tpu.nn.rope import rope_angles
+            cos_sin = rope_angles(offset_b[:, None], hd,
+                                  dcfg.rope_max_period)
+
+        def layer_body(hh, l):
+            n = cb * nl + l
+            qkv = qmatmul_pallas_stacked(hh, attn_in, n, alpha=n1t)
+            if cos_sin is not None:
+                from moshi_tpu.nn.rope import apply_rope
+                qk = qkv[:, : 2 * dd].reshape(b, 1, 2 * nh, hd)
+                qk = apply_rope(qk, cos_sin=cos_sin)
+                q, k_new = qk[:, 0, :nh], qk[:, 0, nh:]
+            else:
+                q = qkv[:, :dd].reshape(b, nh, hd)
+                k_new = qkv[:, dd:2 * dd].reshape(b, nh, hd)
+            v_new = qkv[:, 2 * dd:].reshape(b, nh, hd)
+            attn = decode_attention_stacked(
+                q.astype(jnp.bfloat16), k_stack, v_stack,
+                k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
+                offset_b, l, cap=cap, context=dcfg.context)
+            o = qmatmul_pallas_stacked(
+                attn.reshape(b, dd).astype(jnp.bfloat16), attn_out, n)
+            hh = hh + o.astype(hh.dtype)
+            g = glu_matmul_pallas_stacked(hh, glu_in, n, alpha=n2t)
+            if g is None:
+                gh = qmatmul_pallas_stacked(hh, glu_in, n, alpha=n2t)
+                gate, value = jnp.split(gh, 2, axis=-1)
+                g = jax.nn.silu(gate) * value
+            ffn = qmatmul_pallas_stacked(
+                g.astype(jnp.bfloat16), glu_out, n)
+            hh = hh + ffn.astype(hh.dtype)
+            return hh, (k_new.astype(kv_dt), v_new.astype(kv_dt))
+
+        y, (ks, vs) = jax.lax.scan(layer_body, hcur,
+                                   jnp.arange(nl, dtype=jnp.int32))
+        slot = (cb % cap).astype(jnp.int32)
+        z = jnp.int32(0)
+        kc = jax.lax.dynamic_update_slice(k_stack, ks[:, :, None],
+                                          (z, z, slot, z, z))
+        vc = jax.lax.dynamic_update_slice(v_stack, vs[:, :, None],
+                                          (z, z, slot, z, z))
+        logits = qmatmul_pallas_stacked(y, lin_w, cb)           # [B, card]
+        token = sample_token(logits.astype(jnp.float32), k_cb, temp, top_k)
+        return (token, (kc, vc)), token
+
+    xs = [jnp.arange(dep_q, dtype=jnp.int32), keys, h_in_all]
+    if cfg.dep_q > 1:
+        xs.append(step_w["emb"])
+    (_, _), tokens = jax.lax.scan(step, (text_token, kv0), tuple(xs))
+    return jnp.moveaxis(tokens, 0, 1)                           # [B, dep_q]
+
+
 def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
                        key, temp: float, top_k: int):
     """Generate dep_q audio tokens for one frame.
@@ -535,6 +673,10 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
             temp, top_k)
     if _can_use_dep_megakernel(cfg, dep, b):
         return _depformer_generate_megakernel(
+            cfg, params, transformer_out, text_token, keys, step_w,
+            temp, top_k)
+    if _can_use_dep_stacked(cfg, step_w, b):
+        return _depformer_generate_stacked(
             cfg, params, transformer_out, text_token, keys, step_w,
             temp, top_k)
     kv0 = init_transformer_state(dcfg, b)

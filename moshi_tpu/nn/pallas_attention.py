@@ -122,3 +122,128 @@ def decode_attention(q, kc, vc, offset, *, cap: int, context: int,
         interpret=interpret,
     )(offset.astype(jnp.int32), (offset % cap).astype(jnp.int32), q, kc, vc)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stacked-ring decode attention: reads layer `l`'s ring straight from the
+# stacked [L, B, cap, H, hd] state via a scalar-prefetched layer index —
+# the scan over layers never slices (= copies) the ring.  The ring is the
+# PRE-update state (rows up to offset-1); the current token's k/v arrive
+# as explicit inputs and seed the online-softmax accumulator, so the ring
+# write becomes ONE stacked dynamic_update_slice after the layer scan
+# (same slot for every layer) instead of 2L sliced copies.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_for(cap: int) -> int:
+    """Largest divisor of cap <= 256 (blocks must tile the ring exactly;
+    padding per call would copy the ring every frame)."""
+    for c in (256, 250, 200, 128, 125, 100, 64, 50, 40, 32, 25, 20, 16,
+              10, 8, 5, 4, 2, 1):
+        if cap % c == 0:
+            return c
+    return 1
+
+
+def _decode_attn_kernel_stacked(l_ref, last_ref, lastmod_ref, q_ref,
+                                ck_ref, cv_ref, k_ref, v_ref, o_ref,
+                                m_ref, l2_ref, acc_ref, *, cap, context,
+                                chunk, scale):
+    bi = pl.program_id(0)
+    ci = pl.program_id(1)
+    nchunks = pl.num_programs(1)
+    q = q_ref[0].astype(jnp.bfloat16)                     # [H, hd]
+
+    @pl.when(ci == 0)
+    def _init():
+        # seed with the current token (position = offset, always valid):
+        # m = s_cur, l = exp(0) = 1, acc = v_cur
+        ck = ck_ref[0].astype(jnp.bfloat16)
+        s_cur = jnp.sum((ck * q).astype(jnp.float32), axis=-1) * scale
+        m_ref[:] = s_cur[None, :]                          # [1, H]
+        l2_ref[:] = jnp.ones_like(l2_ref)
+        acc_ref[:] = cv_ref[0].astype(jnp.float32)
+
+    k = k_ref[0, 0].astype(jnp.bfloat16)                  # [C, H, hd]
+    v = v_ref[0, 0].astype(jnp.bfloat16)
+    s = jnp.sum((k * q[None, :, :]).astype(jnp.float32),
+                axis=-1) * scale                          # [C, H]
+    # ring validity against last = offset-1: slot j holds position
+    # p = last - delta, delta = (last - j) mod cap; valid iff p >= 0 and
+    # p > offset - context  <=>  delta < context - 1.  (The old row at
+    # the current slot has p = offset - cap, outside any context <= cap.)
+    last = last_ref[bi]
+    r = lastmod_ref[bi]
+    j = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    delta = jnp.where(j > r, r - j + cap, r - j)
+    valid = (delta < context - 1) & (last - delta >= 0) & (j < cap)
+    s = jnp.where(valid, s, NEG)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0)[None, :])
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l2_ref[:] = l2_ref[:] * corr + jnp.sum(p, axis=0)[None, :]
+    pb = p[:, :, None].astype(jnp.bfloat16)
+    acc_ref[:] = (acc_ref[:] * corr[0][:, None]
+                  + jnp.sum((pb * v).astype(jnp.float32), axis=0))
+    m_ref[:] = m_new
+
+    @pl.when(ci == nchunks - 1)
+    def _done():
+        o_ref[0] = (acc_ref[:] / l2_ref[0][:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "context", "interpret"))
+def decode_attention_stacked(q, k_stack, v_stack, cur_k, cur_v, offset,
+                             layer, *, cap: int, context: int,
+                             interpret: bool = False):
+    """q/cur_k/cur_v: [B, H, hd] (post-rope); k_stack/v_stack:
+    [L, B, cap, H, hd] PRE-update rings; offset: [B] (current position,
+    not yet written); layer: i32 scalar.  Returns [B, H, hd] f32."""
+    b, h, hd = q.shape
+    chunk = _chunk_for(cap)
+    if chunk < 8 and chunk != cap:
+        # a tiny divisor would explode the grid; tiny caps (cap == chunk,
+        # e.g. the depformer's 8-or-less ring) are a single chunk
+        raise ValueError(f"cap {cap} has no usable chunk divisor")
+    nchunks = cap // chunk
+    grid = (b, nchunks)
+    lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    last = offset.astype(jnp.int32) - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # layer, last, last % cap
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, hd), lambda bi, ci, sl, so, sr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, hd), lambda bi, ci, sl, so, sr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, hd), lambda bi, ci, sl, so, sr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, h, hd),
+                         lambda bi, ci, sl, so, sr: (sl[0], bi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, h, hd),
+                         lambda bi, ci, sl, so, sr: (sl[0], bi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, hd),
+                               lambda bi, ci, sl, so, sr: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((h, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_kernel_stacked, cap=cap,
+                          context=context, chunk=chunk, scale=hd ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+        interpret=interpret,
+    )(lidx, last, (last % cap).astype(jnp.int32), q, cur_k, cur_v,
+      k_stack, v_stack)
+    return out

@@ -181,6 +181,111 @@ def _forward_megakernel(cfg: TransformerConfig, params, state, x, offset):
     return h_out[:, None].astype(x.dtype), {"k": kc, "v": vc}
 
 
+def can_use_stacked_decode(cfg: TransformerConfig, params, x,
+                           cross_kv) -> bool:
+    """Copy-free decode path preconditions: pallas on, T=1, rms norms +
+    silu gating, no cross-attention / layer-scale / projection biases,
+    all four projections QuantTensors in a pallas-supported layout, and a
+    ring capacity the stacked attention kernel can tile exactly."""
+    import os
+    from moshi_tpu.quant.formats import (QuantTensor, pallas_enabled,
+                                         pallas_layout_ok)
+    if os.environ.get("MOSHI_TPU_NO_STACKED"):
+        return False
+    if not pallas_enabled() or x.shape[1] != 1 or cross_kv is not None:
+        return False
+    if cfg.cross_attention or cfg.use_layer_scale:
+        return False
+    if not cfg.norm.startswith("rms_norm") or cfg.gating != "silu":
+        return False
+    lay = params["layers"]
+    if "gating" not in lay:
+        return False
+    from moshi_tpu.nn.pallas_attention import _chunk_for
+    c = _chunk_for(cfg.mha.cap)
+    if c < 8 and c != cfg.mha.cap:
+        return False
+    for lf in (lay["self_attn"]["in_proj"], lay["self_attn"]["out_proj"],
+               lay["gating"]["linear_in"], lay["gating"]["linear_out"]):
+        w = lf.get("weight")
+        if not (isinstance(w, QuantTensor) and pallas_layout_ok(w)):
+            return False
+        if "bias" in lf:
+            return False
+    return True
+
+
+def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
+                            offset):
+    """Copy-free layer scan: the body passes the WHOLE stacked weight /
+    ring buffers (loop invariants — never sliced) into scalar-prefetch
+    pallas kernels indexed by the layer number, and the ring write
+    collapses to one stacked dynamic_update_slice after the scan (all
+    layers share the slot offset % cap).  Round-1's scan-over-xs layout
+    dynamic-sliced ~116 MB of weights + ~49 MB of KV per 7B layer per
+    frame into copies — 3.5x the matmul time (BENCH_NOTES.md probe2)."""
+    from moshi_tpu.nn.attention import attn_shared
+    from moshi_tpu.nn.pallas_attention import decode_attention_stacked
+    from moshi_tpu.nn.rope import apply_rope
+    from moshi_tpu.quant.pallas_matmul import (glu_matmul_pallas_stacked,
+                                               qmatmul_pallas_stacked)
+    lay = params["layers"]
+    b, _, d = x.shape
+    h, hd = cfg.num_heads, cfg.mha.head_dim
+    in_w = lay["self_attn"]["in_proj"]["weight"]
+    out_w = lay["self_attn"]["out_proj"]["weight"]
+    glu_w = lay["gating"]["linear_in"]["weight"]
+    lout_w = lay["gating"]["linear_out"]["weight"]
+    n1 = lay["norm1"]["alpha"]
+    n2 = lay["norm2"]["alpha"]
+    shared = attn_shared(cfg.mha, offset, 1)
+    cos_sin = shared["cos_sin"]
+    k_stack, v_stack = state["k"], state["v"]
+
+    def body(hcur, l):
+        qkv = qmatmul_pallas_stacked(hcur, in_w, l, alpha=n1)   # [B,3D] f32
+        if cos_sin is not None:
+            qk = qkv[:, : 2 * d].reshape(b, 1, 2 * h, hd)
+            qk = apply_rope(qk, cos_sin=cos_sin)
+            q, k_new = qk[:, 0, :h], qk[:, 0, h:]
+        else:
+            q = qkv[:, :d].reshape(b, h, hd)
+            k_new = qkv[:, d:2 * d].reshape(b, h, hd)
+        v_new = qkv[:, 2 * d:].reshape(b, h, hd)
+        attn = decode_attention_stacked(
+            q.astype(jnp.bfloat16), k_stack, v_stack,
+            k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
+            offset, l, cap=cfg.mha.cap, context=cfg.context)
+        o = qmatmul_pallas_stacked(
+            attn.reshape(b, d).astype(jnp.bfloat16), out_w, l)
+        hcur = hcur + o.astype(hcur.dtype)
+        g = glu_matmul_pallas_stacked(hcur, glu_w, l, alpha=n2)
+        if g is None:  # unsupported GLU layout: two-call fallback
+            gh = qmatmul_pallas_stacked(hcur, glu_w, l, alpha=n2)
+            gate, value = jnp.split(gh, 2, axis=-1)
+            g = jax.nn.silu(gate) * value
+        ffn = qmatmul_pallas_stacked(g.astype(jnp.bfloat16), lout_w, l)
+        hcur = hcur + ffn.astype(hcur.dtype)
+        return hcur, (k_new.astype(k_stack.dtype),
+                      v_new.astype(v_stack.dtype))
+
+    y, (ks, vs) = jax.lax.scan(
+        body, x[:, 0], jnp.arange(cfg.num_layers, dtype=jnp.int32),
+        unroll=SCAN_UNROLL)
+    slot = (offset % cfg.mha.cap).astype(jnp.int32)
+    if b == 1:
+        z = jnp.int32(0)
+        kc = jax.lax.dynamic_update_slice(
+            k_stack, ks[:, :, None], (z, z, slot[0], z, z))
+        vc = jax.lax.dynamic_update_slice(
+            v_stack, vs[:, :, None], (z, z, slot[0], z, z))
+    else:
+        bi = jnp.arange(b)
+        kc = k_stack.at[:, bi, slot].set(ks)
+        vc = v_stack.at[:, bi, slot].set(vs)
+    return y[:, None], {"k": kc, "v": vc}
+
+
 def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
                       cross_kv=None, shared=None):
     """One layer: x [B, T, D] -> (y, new_kv_state).  With rms norms the
@@ -243,6 +348,8 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
                 f"without cross-attention (got T={x.shape[1]}, "
                 f"cross_kv={'set' if cross_kv is not None else 'None'})")
         return _forward_megakernel(cfg, params, state, x, offset)
+    if can_use_stacked_decode(cfg, params, x, cross_kv):
+        return _forward_stacked_decode(cfg, params, state, x, offset)
     layers = params["layers"]
     kv = {"k": state["k"], "v": state["v"]}
     # rope angles / additive bias / positions computed ONCE per step and

@@ -436,3 +436,225 @@ def glu_matmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
             interpret=interpret,
         )(x2, *norm_inputs, qt.q, qt.es, qt.em, qt.q, qt.es, qt.em)
     return y.reshape(orig_shape[:-1] + (h,))
+
+
+# ---------------------------------------------------------------------------
+# Stacked-weight variants: one kernel reads layer `l`'s blocks straight out
+# of the stacked [L, O, ...] HBM buffers via a scalar-prefetched layer
+# index.  This is what makes `lax.scan` over layers copy-free: scanning
+# stacked weights as xs dynamic-slices a ~116 MB copy per 7B layer per
+# frame (custom calls can't consume fused slices), which round-1 measured
+# as 3.5x the per-layer matmul time.  Here the scan body passes the WHOLE
+# stacked tensor (a loop invariant — never copied) plus the layer index.
+#
+# Mosaic shape note (CLAUDE.md): stacked components are flattened to 2-D
+# [L*O, cols] with fused row-index maps — 3-D blocks whose lane dim is
+# not a 128-multiple are rejected, while full-dim lanes on 2-D blocks are
+# exempt.
+# ---------------------------------------------------------------------------
+
+
+def _flat2(a):
+    """[..., O, cols] -> [prod(lead)*O, cols] (metadata-only reshape of a
+    contiguous array; every QuantTensor component carries [O, cols] as
+    its two trailing dims, with any number of stack dims in front —
+    layers [L, ...], or depformer steps-outer [W, L, ...])."""
+    return a.reshape(-1, a.shape[-1])
+
+
+def _q8_kernel_s(l_ref, x_ref, q_ref, d_ref, o_ref):
+    _q8_kernel(x_ref, q_ref, d_ref, o_ref)
+
+
+def _q8_kernel_s_norm(l_ref, x_ref, alpha_ref, q_ref, d_ref, o_ref):
+    _q8_kernel(x_ref, q_ref, d_ref, o_ref, alpha_ref=alpha_ref[0])
+
+
+def _q4_0_kernel_s(l_ref, x_ref, q_ref, d_ref, o_ref):
+    _q4_0_kernel(x_ref, q_ref, d_ref, o_ref)
+
+
+def _q4_0_kernel_s_norm(l_ref, x_ref, alpha_ref, q_ref, d_ref, o_ref):
+    _q4_0_kernel(x_ref, q_ref, d_ref, o_ref, alpha_ref=alpha_ref[0])
+
+
+def _q4_k_kernel_s(l_ref, x_ref, q_ref, es_ref, em_ref, o_ref):
+    _q4_k_kernel(x_ref, q_ref, es_ref, em_ref, o_ref)
+
+
+def _q4_k_kernel_s_norm(l_ref, x_ref, alpha_ref, q_ref, es_ref, em_ref,
+                        o_ref):
+    _q4_k_kernel(x_ref, q_ref, es_ref, em_ref, o_ref,
+                 alpha_ref=alpha_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qmatmul_pallas_stacked(x: jnp.ndarray, qt: QuantTensor, layer,
+                           alpha=None, interpret: bool = False):
+    """y = x @ W[layer].T for a stacked QuantTensor (leaves [L, O, ...]).
+    layer: i32 scalar/[] array.  `alpha` optionally fuses a stacked rms
+    pre-norm ([L, K]) selected by the same index.  x: [..., K] -> [..., O]
+    f32."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    o = qt.q.shape[-2]
+    nl = qt.q.size // (o * qt.q.shape[-1])
+    tile = _pick_tile(o)
+    nblocks = o // tile
+    lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    x_spec = pl.BlockSpec((m, k), lambda i, s: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((m, tile), lambda i, s: (0, i),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * m * k * o,
+        bytes_accessed=qt.nbytes // nl + m * k * 4 + m * o * 4,
+        transcendentals=0)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    fuse = alpha is not None
+    norm_inputs = ()
+    norm_specs = []
+    if fuse:
+        norm_inputs = (alpha.reshape(nl, 1, k).astype(jnp.float32),)
+        norm_specs = [pl.BlockSpec((1, 1, k), lambda i, s: (s[0], 0, 0),
+                                   memory_space=pltpu.VMEM)]
+
+    def wspec(cols):
+        # flat rows: layer l's tile i lives at row-block l*nblocks + i
+        return pl.BlockSpec((tile, cols),
+                            lambda i, s: (s[0] * nblocks + i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(kernel, kernel_norm, w_inputs, w_specs):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[x_spec] + norm_specs + w_specs,
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel_norm if fuse else kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((m, o), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=params,
+            interpret=interpret,
+        )(lidx, x2, *norm_inputs, *w_inputs)
+
+    if qt.fmt == "q8_0":
+        y = call(_q8_kernel_s, _q8_kernel_s_norm,
+                 (_flat2(qt.q), _flat2(qt.d)),
+                 [wspec(k), wspec(k // QK)])
+    elif qt.fmt == "q4_0":
+        y = call(_q4_0_kernel_s, _q4_0_kernel_s_norm,
+                 (_flat2(qt.q), _flat2(qt.d)),
+                 [wspec(k // 2), wspec(k // QK)])
+    elif qt.fmt == "q4_k":
+        qt = qt.with_eff_scales()
+        y = call(_q4_k_kernel_s, _q4_k_kernel_s_norm,
+                 (_flat2(qt.q), _flat2(qt.es), _flat2(qt.em)),
+                 [wspec(k // 2), wspec(k // QK), wspec(k // QK)])
+    else:
+        raise ValueError(qt.fmt)
+    return y.reshape(orig_shape[:-1] + (o,))
+
+
+def _glu_q8_kernel_s(l_ref, x_ref, alpha_ref, qg_ref, dg_ref, qv_ref,
+                     dv_ref, o_ref):
+    _glu_q8_kernel(x_ref, alpha_ref[0], qg_ref, dg_ref, qv_ref, dv_ref,
+                   o_ref)
+
+
+def _glu_q8_kernel_s_nonorm(l_ref, x_ref, qg_ref, dg_ref, qv_ref, dv_ref,
+                            o_ref):
+    _glu_q8_kernel(x_ref, None, qg_ref, dg_ref, qv_ref, dv_ref, o_ref)
+
+
+def _glu_q4k_kernel_s(l_ref, x_ref, alpha_ref, qg_ref, esg_ref, emg_ref,
+                      qv_ref, esv_ref, emv_ref, o_ref):
+    _glu_q4k_kernel(x_ref, alpha_ref[0], qg_ref, esg_ref, emg_ref,
+                    qv_ref, esv_ref, emv_ref, o_ref)
+
+
+def _glu_q4k_kernel_s_nonorm(l_ref, x_ref, qg_ref, esg_ref, emg_ref,
+                             qv_ref, esv_ref, emv_ref, o_ref):
+    _glu_q4k_kernel(x_ref, None, qg_ref, esg_ref, emg_ref,
+                    qv_ref, esv_ref, emv_ref, o_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def glu_matmul_pallas_stacked(x: jnp.ndarray, qt: QuantTensor, layer,
+                              alpha=None, interpret: bool = False):
+    """Stacked fused GLU: y = silu(x @ Wg[layer].T) * (x @ Wv[layer].T)
+    for a stacked fused linear_in [L, 2H, K].  Returns [..., H] f32, or
+    None when the layout is unsupported (caller falls back)."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    o2 = qt.q.shape[-2]
+    nl = qt.q.size // (o2 * qt.q.shape[-1])
+    h = o2 // 2
+    tile = _pick_tile(h)
+    if h % tile or qt.fmt not in ("q8_0", "q4_k"):
+        return None
+    nblocks = h // tile
+    lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    x_spec = pl.BlockSpec((m, k), lambda i, s: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((m, tile), lambda i, s: (0, i),
+                            memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    fuse = alpha is not None
+    norm_inputs = ()
+    norm_specs = []
+    if fuse:
+        norm_inputs = (alpha.reshape(nl, 1, k).astype(jnp.float32),)
+        norm_specs = [pl.BlockSpec((1, 1, k), lambda i, s: (s[0], 0, 0),
+                                   memory_space=pltpu.VMEM)]
+    cost = pl.CostEstimate(
+        flops=2 * m * k * o2,
+        bytes_accessed=qt.nbytes // nl + m * k * 4 + m * h * 4,
+        transcendentals=m * h)
+    # flat rows: layer l spans row-blocks [l*2*nblocks, (l+1)*2*nblocks);
+    # gate tile i at l*2*nblocks + i, value tile at + nblocks
+    nb2 = 2 * nblocks
+
+    def wspec(cols, voff):
+        return pl.BlockSpec(
+            (tile, cols),
+            lambda i, s, voff=voff: (s[0] * nb2 + voff + i, 0),
+            memory_space=pltpu.VMEM)
+
+    def call(kernel, kernel_nonorm, w_inputs, w_specs):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[x_spec] + norm_specs + w_specs,
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel if fuse else kernel_nonorm,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((m, h), jnp.float32),
+            cost_estimate=cost, compiler_params=params,
+            interpret=interpret,
+        )(lidx, x2, *norm_inputs, *w_inputs)
+
+    if qt.fmt == "q8_0":
+        qf, df = _flat2(qt.q), _flat2(qt.d)
+        y = call(_glu_q8_kernel_s, _glu_q8_kernel_s_nonorm,
+                 (qf, df, qf, df),
+                 [wspec(k, 0), wspec(k // QK, 0),
+                  wspec(k, nblocks), wspec(k // QK, nblocks)])
+    else:
+        qt = qt.with_eff_scales()
+        qf, esf, emf = _flat2(qt.q), _flat2(qt.es), _flat2(qt.em)
+        y = call(_glu_q4k_kernel_s, _glu_q4k_kernel_s_nonorm,
+                 (qf, esf, emf, qf, esf, emf),
+                 [wspec(k // 2, 0), wspec(k // QK, 0), wspec(k // QK, 0),
+                  wspec(k // 2, nblocks), wspec(k // QK, nblocks),
+                  wspec(k // QK, nblocks)])
+    return y.reshape(orig_shape[:-1] + (h,))
