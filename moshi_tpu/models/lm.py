@@ -292,11 +292,22 @@ def temporal_forward(cfg: LMConfig, params, kv_state, tokens, offset,
     from moshi_tpu.utils.capture import capture
     x = capture("lm/embed", embed_frame(cfg, params, tokens, condition_sum))
     h, new_kv = transformer_forward(cfg.transformer, params["transformer"],
-                                    kv_state, x, offset, cross_kv)
+                                    kv_state, x, offset, cross_kv,
+                                    tap="lm/temporal")
     h = capture("lm/transformer_out", rms_norm(params["out_norm"], h))
-    logits = capture("lm/text_logits",
-                     linear(params["text_linear"], h,
-                            out_dtype=jnp.float32))
+    from moshi_tpu.parallel.tp import current_tp
+    from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
+    tp = current_tp()
+    if (tp is not None and pallas_enabled()
+            and isinstance(params["text_linear"]["weight"], QuantTensor)):
+        # row-sharded head: per-shard pallas kernel + gathered logits
+        from moshi_tpu.parallel.tp import tp_row_logits
+        logits = capture("lm/text_logits", tp_row_logits(
+            h, params["text_linear"]["weight"], tp))
+    else:
+        logits = capture("lm/text_logits",
+                         linear(params["text_linear"], h,
+                                out_dtype=jnp.float32))
     return h, logits, new_kv
 
 
@@ -532,22 +543,29 @@ def _can_use_dep_stacked(cfg: LMConfig, step_w, b: int) -> bool:
         return False
     mods = [step_w["attn"]["in_proj"], step_w["attn"]["out_proj"],
             step_w["gating"]["linear_in"], step_w["gating"]["linear_out"],
-            step_w["in"], step_w["linears"]]
+            step_w["in"]]
     for lf in mods:
         w = lf.get("weight")
         if not (isinstance(w, QuantTensor) and pallas_layout_ok(w)):
             return False
         if lf.get("bias") is not None:
             return False
+    # per-codebook output linears may be dense (policy keeps small heads
+    # bf16) — the stacked body handles both
+    lw = step_w["linears"].get("weight")
+    if isinstance(lw, QuantTensor) and not pallas_layout_ok(lw):
+        return False
+    if step_w["linears"].get("bias") is not None:
+        return False
     if cfg.dep_q > 1:
         if step_w["emb"]["low_rank"].get("bias") is not None:
             return False
     return True
 
 
-def _depformer_generate_stacked(cfg: LMConfig, params, transformer_out,
-                                text_token, keys, step_w,
-                                temp: float, top_k: int):
+def _depformer_generate_stacked(cfg: LMConfig, norms, text_emb,
+                                transformer_out, text_token, keys, step_w,
+                                temp: float, top_k: int, tp_axis=None):
     """Copy-free depformer: the (step, layer) scans pass WHOLE stacked
     weight buffers into scalar-prefetch pallas kernels indexed by the
     flat step*L+layer number, the per-frame KV rings live outside the
@@ -559,14 +577,16 @@ def _depformer_generate_stacked(cfg: LMConfig, params, transformer_out,
     from moshi_tpu.quant.formats import flatten_lead, qmatmul
     from moshi_tpu.quant.pallas_matmul import (glu_matmul_pallas_stacked,
                                                qmatmul_pallas_stacked)
-    dep = params["depformer"]
     dcfg = cfg.depformer
     dep_q = cfg.runtime_dep_q
     b = transformer_out.shape[0]
     nl, dd = dcfg.num_layers, dcfg.dim
-    nh, hd = dcfg.num_heads, dcfg.mha.head_dim
+    hd = dcfg.mha.head_dim
     cap = dcfg.mha.cap
-    text_emb = _depformer_text_embed(cfg, dep, text_token)      # [B, dd]
+    # under TP (inside shard_map) the attention projections are head-
+    # sharded; local head count falls out of the local fused-qkv rows
+    ddl = step_w["attn"]["in_proj"]["weight"].q.shape[-2] // 3
+    nh = ddl // hd
     h_in = qmatmul(transformer_out.astype(jnp.bfloat16),
                    flatten_lead(step_w["in"]["weight"]))
     h_in_all = jnp.moveaxis(h_in.reshape(b, dep_q, dd), 1, 0)   # [W, B, dd]
@@ -575,11 +595,10 @@ def _depformer_generate_stacked(cfg: LMConfig, params, transformer_out,
     glu_in = step_w["gating"]["linear_in"]["weight"]
     glu_out = step_w["gating"]["linear_out"]["weight"]
     lin_w = step_w["linears"]["weight"]                         # [W, card, dd]
-    lay = dep["layers"]
     # norms are per-layer (shared across steps): tile so row cb*L+l of the
     # flat alpha matches the weights' flat (step, layer) row order
-    n1t = jnp.tile(lay["norm1"]["alpha"], (dep_q, 1))
-    n2t = jnp.tile(lay["norm2"]["alpha"], (dep_q, 1))
+    n1t = jnp.tile(norms["norm1"]["alpha"], (dep_q, 1))
+    n2t = jnp.tile(norms["norm2"]["alpha"], (dep_q, 1))
     kv_dt = jnp.dtype(dcfg.kv_dtype)
     kv0 = (jnp.zeros((nl, b, cap, nh, hd), kv_dt),
            jnp.zeros((nl, b, cap, nh, hd), kv_dt))
@@ -608,19 +627,21 @@ def _depformer_generate_stacked(cfg: LMConfig, params, transformer_out,
             qkv = qmatmul_pallas_stacked(hh, attn_in, n, alpha=n1t)
             if cos_sin is not None:
                 from moshi_tpu.nn.rope import apply_rope
-                qk = qkv[:, : 2 * dd].reshape(b, 1, 2 * nh, hd)
+                qk = qkv[:, : 2 * ddl].reshape(b, 1, 2 * nh, hd)
                 qk = apply_rope(qk, cos_sin=cos_sin)
                 q, k_new = qk[:, 0, :nh], qk[:, 0, nh:]
             else:
-                q = qkv[:, :dd].reshape(b, nh, hd)
-                k_new = qkv[:, dd:2 * dd].reshape(b, nh, hd)
-            v_new = qkv[:, 2 * dd:].reshape(b, nh, hd)
+                q = qkv[:, :ddl].reshape(b, nh, hd)
+                k_new = qkv[:, ddl:2 * ddl].reshape(b, nh, hd)
+            v_new = qkv[:, 2 * ddl:].reshape(b, nh, hd)
             attn = decode_attention_stacked(
                 q.astype(jnp.bfloat16), k_stack, v_stack,
                 k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
                 offset_b, l, cap=cap, context=dcfg.context)
             o = qmatmul_pallas_stacked(
-                attn.reshape(b, dd).astype(jnp.bfloat16), attn_out, n)
+                attn.reshape(b, ddl).astype(jnp.bfloat16), attn_out, n)
+            if tp_axis is not None:
+                o = jax.lax.psum(o, tp_axis)
             hh = hh + o.astype(hh.dtype)
             g = glu_matmul_pallas_stacked(hh, glu_in, n, alpha=n2t)
             if g is None:
@@ -629,19 +650,38 @@ def _depformer_generate_stacked(cfg: LMConfig, params, transformer_out,
                 g = jax.nn.silu(gate) * value
             ffn = qmatmul_pallas_stacked(
                 g.astype(jnp.bfloat16), glu_out, n)
+            if tp_axis is not None:
+                ffn = jax.lax.psum(ffn, tp_axis)
             hh = hh + ffn.astype(hh.dtype)
             return hh, (k_new.astype(kv_dt), v_new.astype(kv_dt))
 
+        from moshi_tpu.utils.capture import capture as _cap
+        hcur = _cap("lm/dep/h_in", hcur)
         y, (ks, vs) = jax.lax.scan(layer_body, hcur,
                                    jnp.arange(nl, dtype=jnp.int32))
+        y = _cap("lm/dep/step_out", y)
         slot = (cb % cap).astype(jnp.int32)
         z = jnp.int32(0)
         kc = jax.lax.dynamic_update_slice(k_stack, ks[:, :, None],
                                           (z, z, slot, z, z))
         vc = jax.lax.dynamic_update_slice(v_stack, vs[:, :, None],
                                           (z, z, slot, z, z))
-        logits = qmatmul_pallas_stacked(y, lin_w, cb)           # [B, card]
-        token = sample_token(logits.astype(jnp.float32), k_cb, temp, top_k)
+        from moshi_tpu.quant.formats import QuantTensor as _QT
+        if isinstance(lin_w, _QT):
+            logits = qmatmul_pallas_stacked(y, lin_w, cb)  # [B, card(/S)]
+            if tp_axis is not None:
+                # quantized linears are contiguously row-sharded on card
+                logits = jax.lax.all_gather(logits, tp_axis, axis=1,
+                                            tiled=True)
+        else:
+            # dense small heads stay replicated: tiny dynamic-index copy
+            wl = jax.lax.dynamic_index_in_dim(lin_w, cb, 0, keepdims=False)
+            logits = jax.lax.dot_general(
+                y.astype(wl.dtype), wl, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        logits = _cap("lm/dep/logits", logits)
+        token = _cap("lm/dep/token", sample_token(
+            logits.astype(jnp.float32), k_cb, temp, top_k))
         return (token, (kc, vc)), token
 
     xs = [jnp.arange(dep_q, dtype=jnp.int32), keys, h_in_all]
@@ -675,10 +715,29 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
         return _depformer_generate_megakernel(
             cfg, params, transformer_out, text_token, keys, step_w,
             temp, top_k)
+    from moshi_tpu.parallel.tp import current_tp as _current_tp
+    from moshi_tpu.quant.formats import pallas_enabled as _pe
+    if (_current_tp() is not None and _pe()
+            and not _can_use_dep_stacked(cfg, step_w, b)):
+        raise ValueError(
+            "tp_scope is active but the depformer does not satisfy the "
+            "stacked-kernel preconditions (quantized pallas-layout "
+            "projections, rms norm, silu gating, no biases) — explicit TP "
+            "only runs the stacked path")
     if _can_use_dep_stacked(cfg, step_w, b):
+        from moshi_tpu.parallel.tp import current_tp
+        norms = {"norm1": dep["layers"]["norm1"],
+                 "norm2": dep["layers"]["norm2"]}
+        text_emb = _depformer_text_embed(cfg, dep, text_token)
+        tp = current_tp()
+        if tp is not None:
+            from moshi_tpu.parallel.tp import tp_depformer_generate
+            return tp_depformer_generate(
+                cfg, norms, text_emb, transformer_out, text_token, keys,
+                step_w, temp, top_k, tp)
         return _depformer_generate_stacked(
-            cfg, params, transformer_out, text_token, keys, step_w,
-            temp, top_k)
+            cfg, norms, text_emb, transformer_out, text_token, keys,
+            step_w, temp, top_k)
     kv0 = init_transformer_state(dcfg, b)
     # the text embedding (step 0's token input) is loop-invariant:
     # compute it once outside the scan and select per step — cheaper than
@@ -714,8 +773,10 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
                   "norm2": dep["layers"]["norm2"]}
         y, new_kv = jax.lax.scan(layer_body, x,
                                  (shared, w["attn"], w["gating"], kv))
-        logits = linear(w["linears"], y[:, 0]).astype(jnp.float32)
-        token = sample_token(logits, k_cb, temp, top_k)
+        from moshi_tpu.utils.capture import capture as _cap
+        logits = _cap("lm/dep/logits",
+                      linear(w["linears"], y[:, 0]).astype(jnp.float32))
+        token = _cap("lm/dep/token", sample_token(logits, k_cb, temp, top_k))
         return (token, new_kv), token
 
     xs = {"in": step_w["in"], "attn": step_w["attn"],
@@ -848,7 +909,9 @@ def lm_text_step(cfg: LMConfig, params, state, other_audio=None,
                                          tokens, offset, condition_sum,
                                          cross_kv)
     rng, k1 = jax.random.split(state["rng"])
-    text_token = sample_token(logits[:, -1], k1, temp_text, top_k_text)
+    from moshi_tpu.utils.capture import capture as _cap
+    text_token = _cap("lm/text_token",
+                      sample_token(logits[:, -1], k1, temp_text, top_k_text))
     new_state = {"transformer": new_kv, "cache": cache, "offset": offset,
                  "rng": rng}
     return text_token, h[:, -1], new_state

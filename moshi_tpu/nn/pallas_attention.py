@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from moshi_tpu.utils.pallas_mode import with_interpret_default
+
 NEG = -1e9
 
 
@@ -77,6 +79,7 @@ def _decode_attn_kernel(offset_ref, offmod_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
 
 
+@with_interpret_default
 @functools.partial(jax.jit,
                    static_argnames=("cap", "context", "interpret"))
 def decode_attention(q, kc, vc, offset, *, cap: int, context: int,
@@ -194,6 +197,7 @@ def _decode_attn_kernel_stacked(l_ref, last_ref, lastmod_ref, q_ref,
         o_ref[0] = (acc_ref[:] / l2_ref[0][:, None]).astype(o_ref.dtype)
 
 
+@with_interpret_default
 @functools.partial(jax.jit,
                    static_argnames=("cap", "context", "interpret"))
 def decode_attention_stacked(q, k_stack, v_stack, cur_k, cur_v, offset,

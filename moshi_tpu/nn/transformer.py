@@ -216,7 +216,7 @@ def can_use_stacked_decode(cfg: TransformerConfig, params, x,
 
 
 def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
-                            offset):
+                            offset, tp_axis=None, tap=None):
     """Copy-free layer scan: the body passes the WHOLE stacked weight /
     ring buffers (loop invariants — never sliced) into scalar-prefetch
     pallas kernels indexed by the layer number, and the ring write
@@ -231,8 +231,13 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
                                                qmatmul_pallas_stacked)
     lay = params["layers"]
     b, _, d = x.shape
-    h, hd = cfg.num_heads, cfg.mha.head_dim
+    hd = cfg.mha.head_dim
     in_w = lay["self_attn"]["in_proj"]["weight"]
+    # under tensor parallelism (tp_axis set, called inside shard_map) the
+    # projections are head-sharded: the local head count falls out of the
+    # local fused-qkv row count, and the out/ffn projections psum
+    dl = in_w.q.shape[-2] // 3
+    h = dl // hd
     out_w = lay["self_attn"]["out_proj"]["weight"]
     glu_w = lay["gating"]["linear_in"]["weight"]
     lout_w = lay["gating"]["linear_out"]["weight"]
@@ -243,21 +248,23 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
     k_stack, v_stack = state["k"], state["v"]
 
     def body(hcur, l):
-        qkv = qmatmul_pallas_stacked(hcur, in_w, l, alpha=n1)   # [B,3D] f32
+        qkv = qmatmul_pallas_stacked(hcur, in_w, l, alpha=n1)  # [B,3dl]
         if cos_sin is not None:
-            qk = qkv[:, : 2 * d].reshape(b, 1, 2 * h, hd)
+            qk = qkv[:, : 2 * dl].reshape(b, 1, 2 * h, hd)
             qk = apply_rope(qk, cos_sin=cos_sin)
             q, k_new = qk[:, 0, :h], qk[:, 0, h:]
         else:
-            q = qkv[:, :d].reshape(b, h, hd)
-            k_new = qkv[:, d:2 * d].reshape(b, h, hd)
-        v_new = qkv[:, 2 * d:].reshape(b, h, hd)
+            q = qkv[:, :dl].reshape(b, h, hd)
+            k_new = qkv[:, dl:2 * dl].reshape(b, h, hd)
+        v_new = qkv[:, 2 * dl:].reshape(b, h, hd)
         attn = decode_attention_stacked(
             q.astype(jnp.bfloat16), k_stack, v_stack,
             k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
             offset, l, cap=cfg.mha.cap, context=cfg.context)
         o = qmatmul_pallas_stacked(
-            attn.reshape(b, d).astype(jnp.bfloat16), out_w, l)
+            attn.reshape(b, dl).astype(jnp.bfloat16), out_w, l)
+        if tp_axis is not None:
+            o = jax.lax.psum(o, tp_axis)
         hcur = hcur + o.astype(hcur.dtype)
         g = glu_matmul_pallas_stacked(hcur, glu_w, l, alpha=n2)
         if g is None:  # unsupported GLU layout: two-call fallback
@@ -265,7 +272,13 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
             gate, value = jnp.split(gh, 2, axis=-1)
             g = jax.nn.silu(gate) * value
         ffn = qmatmul_pallas_stacked(g.astype(jnp.bfloat16), lout_w, l)
+        if tp_axis is not None:
+            ffn = jax.lax.psum(ffn, tp_axis)
         hcur = hcur + ffn.astype(hcur.dtype)
+        if tap:
+            from moshi_tpu.utils.capture import capture
+            o = capture(f"{tap}/attn_out", o)
+            hcur = capture(f"{tap}/layer_out", hcur)
         return hcur, (k_new.astype(k_stack.dtype),
                       v_new.astype(v_stack.dtype))
 
@@ -287,10 +300,12 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
 
 
 def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
-                      cross_kv=None, shared=None):
+                      cross_kv=None, shared=None, tap=None):
     """One layer: x [B, T, D] -> (y, new_kv_state).  With rms norms the
     pre-norms fuse into the following projection kernels (the norm math
-    is identical either way — quant/formats.qmatmul)."""
+    is identical either way — quant/formats.qmatmul).  `tap` prefixes
+    per-layer capture points (appended once per scan iteration)."""
+    from moshi_tpu.utils.capture import capture
     fuse_rms = cfg.norm.startswith("rms_norm")
     if fuse_rms:
         attn, new_kv = streaming_mha(
@@ -302,6 +317,8 @@ def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
                                      kv_state, h, offset, shared=shared)
     if cfg.use_layer_scale:
         attn = layer_scale(params["layer_scale_1"], attn)
+    if tap:
+        attn = capture(f"{tap}/attn_out", attn)
     x = x + attn
     if cfg.cross_attention and cross_kv is not None:
         hc = apply_norm(cfg.norm_cross, params["norm_cross"], x)
@@ -314,6 +331,8 @@ def transformer_layer(cfg: TransformerConfig, params, kv_state, x, offset,
         ffn = gating_mlp(params["gating"], h2, cfg.gating) if cfg.gating             else mlp_gelu(params, h2)
     if cfg.use_layer_scale:
         ffn = layer_scale(params["layer_scale_2"], ffn)
+    if tap:
+        ffn = capture(f"{tap}/ffn_out", ffn)
     return x + ffn, new_kv
 
 
@@ -333,7 +352,7 @@ def set_scan_unroll(n: int):
 
 
 def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
-                        cross_kv=None):
+                        cross_kv=None, tap=None):
     """Run the full stack via lax.scan over stacked layer params.
 
     x: [B, T, D]; offset: [B] (position of x[:, 0] in the stream).
@@ -349,7 +368,26 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
                 f"cross_kv={'set' if cross_kv is not None else 'None'})")
         return _forward_megakernel(cfg, params, state, x, offset)
     if can_use_stacked_decode(cfg, params, x, cross_kv):
-        return _forward_stacked_decode(cfg, params, state, x, offset)
+        from moshi_tpu.parallel.tp import current_tp
+        tp = current_tp()
+        if tp is not None:
+            from moshi_tpu.parallel.tp import tp_transformer_decode
+            return tp_transformer_decode(cfg, params, state, x, offset, tp)
+        return _forward_stacked_decode(cfg, params, state, x, offset,
+                                       tap=tap)
+    else:
+        from moshi_tpu.parallel.tp import current_tp
+        from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
+        if (current_tp() is not None and pallas_enabled() and isinstance(
+                params["layers"]["self_attn"]["in_proj"].get("weight"),
+                QuantTensor)):
+            # under tp_scope a quantized stack MUST take the shard_map
+            # path: the GSPMD fallback would replicate (or break on) the
+            # pallas custom calls
+            raise ValueError(
+                "tp_scope is active but this quantized transformer does "
+                "not satisfy the stacked-decode preconditions "
+                f"(T={x.shape[1]}, cross={cross_kv is not None})")
     layers = params["layers"]
     kv = {"k": state["k"], "v": state["v"]}
     # rope angles / additive bias / positions computed ONCE per step and
@@ -362,13 +400,13 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
         def body(h, xs):
             lp, kv_l = xs
             return transformer_layer(cfg, lp, kv_l, h, offset, None,
-                                     shared=shared)
+                                     shared=shared, tap=tap)
         y, new_kv = jax.lax.scan(body, x, (layers, kv), unroll=unroll)
     else:
         def body(h, xs):
             lp, kv_l, ckv = xs
             return transformer_layer(cfg, lp, kv_l, h, offset, ckv,
-                                     shared=shared)
+                                     shared=shared, tap=tap)
         y, new_kv = jax.lax.scan(body, x, (layers, kv, cross_kv),
                                  unroll=unroll)
     return y, new_kv

@@ -1,3 +1,6 @@
 from moshi_tpu.parallel.sharding import (  # noqa: F401
     make_mesh, lm_param_pspecs, lm_state_pspecs, shard_tree, replicate_tree,
 )
+from moshi_tpu.parallel.tp import (  # noqa: F401
+    current_tp, tp_scope, tp_shard_lm_params, tp_specs,
+)

@@ -337,3 +337,84 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None,
     if out_dtype is not None:
         y = y.astype(out_dtype)
     return y
+
+
+# ---------------------------------------------------------------------------
+# shard-time slicing (tensor parallelism).  Row takes are exact for every
+# format; column slices are exact when the boundaries are block-aligned
+# (QK_K for q4_k, QK otherwise) and requantize the slice (same bitwidth,
+# loader-style fallback) when not.  Host-side, one-off at shard time.
+# ---------------------------------------------------------------------------
+
+
+def _row_axis(field: str) -> int:
+    """Axis of the O dimension in a component array, counted from the
+    end (supports stacked leading dims)."""
+    return -3 if field in ("sc", "mn") else -2
+
+
+def qt_take_rows(qt: QuantTensor, rows) -> QuantTensor:
+    """Row subset/permutation (exact; all components index on O)."""
+    rows = np.asarray(rows)
+
+    def take(field):
+        a = getattr(qt, field)
+        if a is None:
+            return None
+        return jnp.take(jnp.asarray(a), jnp.asarray(rows),
+                        axis=a.ndim + _row_axis(field))
+    return QuantTensor(qt.fmt, (int(rows.size), qt.shape[1]),
+                       take("q"), take("d"), take("sc"), take("mn"),
+                       take("dmin"), take("es"), take("em"))
+
+
+def _unpack_planar_np(q: np.ndarray) -> np.ndarray:
+    return np.concatenate([q & 15, q >> 4], axis=-1)
+
+
+def _pack_planar_np(u: np.ndarray) -> np.ndarray:
+    half = u.shape[-1] // 2
+    return (u[..., :half] | (u[..., half:] << 4)).astype(np.uint8)
+
+
+def qt_slice_cols(qt: QuantTensor, c0: int, c1: int) -> QuantTensor:
+    """Columns [c0, c1) of the logical [.., O, I] weight as a self-
+    contained QuantTensor (planar repack within the slice).  Exact when
+    c0/c1 are block-aligned; otherwise dequantizes the slice and
+    requantizes (same bitwidth, q4_k -> q4_0 fallback when the width
+    isn't a superblock multiple — mirrors loader.h:162-172)."""
+    w = c1 - c0
+    block = QK_K if qt.fmt == "q4_k" else QK
+    if c0 % block or c1 % block:
+        sl = np.asarray(dequantize(qt, jnp.float32))[..., c0:c1]
+        fmt = qt.fmt
+        if fmt == "q4_k" and w % QK_K:
+            fmt = "q4_0"
+        if w % QK:
+            raise ValueError(f"column slice width {w} not a {QK} multiple")
+        assert sl.ndim == 2, "misaligned col slice only on base [O, I]"
+        return quantize(sl, fmt)
+    if qt.fmt == "q8_0":
+        return QuantTensor(
+            "q8_0", (qt.shape[0], w),
+            jnp.asarray(np.asarray(qt.q)[..., c0:c1]),
+            jnp.asarray(np.asarray(qt.d)[..., c0 // QK:c1 // QK]))
+    # 4-bit planar: unpack, slice, repack within the slice
+    qn = _unpack_planar_np(np.asarray(qt.q))[..., c0:c1]
+    packed = jnp.asarray(_pack_planar_np(qn))
+    if qt.fmt == "q4_0":
+        return QuantTensor(
+            "q4_0", (qt.shape[0], w), packed,
+            jnp.asarray(np.asarray(qt.d)[..., c0 // QK:c1 // QK]))
+    nsb0, nsb1 = c0 // QK_K, c1 // QK_K
+
+    def s32(a):
+        return None if a is None else \
+            jnp.asarray(np.asarray(a)[..., c0 // QK:c1 // QK])
+    return QuantTensor(
+        "q4_k", (qt.shape[0], w), packed,
+        jnp.asarray(np.asarray(qt.d)[..., nsb0:nsb1]),
+        sc=jnp.asarray(np.asarray(qt.sc)[..., nsb0:nsb1, :]),
+        mn=jnp.asarray(np.asarray(qt.mn)[..., nsb0:nsb1, :]),
+        dmin=jnp.asarray(np.asarray(qt.dmin)[..., nsb0:nsb1]),
+        es=s32(qt.es), em=s32(qt.em))

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from moshi_tpu.utils.pallas_mode import with_interpret_default
 from moshi_tpu.quant.formats import QK, QuantTensor
 
 _TILE_O = 1024       # output rows per grid program (fewer, bigger
@@ -182,6 +183,7 @@ def _block_sums(x: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.sum(x.reshape(m, k // block, block), axis=-1)
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
                    interpret: bool = False):
@@ -358,6 +360,7 @@ def _glu_q4k_kernel_nonorm(x_ref, qg_ref, esg_ref, emg_ref,
                     qv_ref, esv_ref, emv_ref, o_ref)
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def glu_matmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
                       interpret: bool = False):
@@ -488,6 +491,7 @@ def _q4_k_kernel_s_norm(l_ref, x_ref, alpha_ref, q_ref, es_ref, em_ref,
                  alpha_ref=alpha_ref[0])
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmatmul_pallas_stacked(x: jnp.ndarray, qt: QuantTensor, layer,
                            alpha=None, interpret: bool = False):
@@ -584,6 +588,7 @@ def _glu_q4k_kernel_s_nonorm(l_ref, x_ref, qg_ref, esg_ref, emg_ref,
                     qv_ref, esv_ref, emv_ref, o_ref)
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def glu_matmul_pallas_stacked(x: jnp.ndarray, qt: QuantTensor, layer,
                               alpha=None, interpret: bool = False):

@@ -1,0 +1,149 @@
+"""Explicit tensor parallelism (parallel/tp.py): shard-time quantized
+layout transforms and shard_map'ed pallas decode equivalence vs the
+single-device stacked path (VERDICT r1 item 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
+from moshi_tpu.parallel import (lm_state_pspecs, make_mesh, shard_tree,
+                                tp_scope, tp_shard_lm_params)
+from moshi_tpu.parallel.tp import _interleave_perm, _tp_cols
+from moshi_tpu.quant.formats import (dequantize, enable_pallas, quantize,
+                                     qt_slice_cols, qt_take_rows)
+from moshi_tpu.utils.pallas_mode import pallas_interpret
+
+_cfg = LMConfig(
+    dim=256, num_heads=8, num_layers=2, hidden_dim=256, context=32,
+    card=256, n_q=4, dep_q=2, text_card=512, delays=(0, 0, 1, 1, 2),
+    depformer_dim=256, depformer_heads=8, depformer_layers=2,
+    depformer_hidden=256, depformer_low_rank=16)
+
+
+def test_interleave_perm():
+    # 3-way fused, 2 shards, D=4: shard0 = [q0 q1 k0 k1 v0 v1]
+    p = _interleave_perm(12, 3, 2)
+    np.testing.assert_array_equal(
+        p, [0, 1, 4, 5, 8, 9, 2, 3, 6, 7, 10, 11])
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+def test_qt_row_take_exact(fmt, rng):
+    w = rng.normal(size=(16, 512)).astype(np.float32) * 0.05
+    qt = quantize(w, fmt)
+    rows = np.array([3, 0, 15, 7])
+    sub = qt_take_rows(qt, rows)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(sub, jnp.float32)),
+        np.asarray(dequantize(qt, jnp.float32))[rows])
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+def test_qt_col_slice_exact_when_aligned(fmt, rng):
+    w = rng.normal(size=(8, 1024)).astype(np.float32) * 0.05
+    qt = quantize(w, fmt)
+    c0, c1 = 256, 768
+    sub = qt_slice_cols(qt, c0, c1)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(sub, jnp.float32)),
+        np.asarray(dequantize(qt, jnp.float32))[:, c0:c1])
+
+
+def test_tp_cols_layout_preserves_numerics(rng):
+    """Column layout = concat of per-shard repacks; per-shard dequant
+    equals the corresponding global columns."""
+    w = rng.normal(size=(8, 1024)).astype(np.float32) * 0.05
+    qt = quantize(w, "q4_k")
+    s = 4
+    laid = _tp_cols(qt, s)
+    full = np.asarray(dequantize(qt, jnp.float32))
+    wdt = 1024 // s
+    for k in range(s):
+        shard = qt_slice_cols(qt, k * wdt, (k + 1) * wdt)
+        np.testing.assert_array_equal(
+            np.asarray(shard.q), np.asarray(laid.q)[:, k * wdt // 2:(k + 1) * wdt // 2])
+        np.testing.assert_array_equal(
+            np.asarray(dequantize(shard, jnp.float32)),
+            full[:, k * wdt:(k + 1) * wdt])
+
+
+def test_tp_cols_requant_fallback(rng):
+    """Misaligned q4_k column shards requantize uniformly to q4_0.  The
+    laid-out tensor is shard-local (planar pairing within each shard), so
+    correctness is judged per shard-slice, not by a global dequantize."""
+    from moshi_tpu.quant.formats import QuantTensor
+    w = rng.normal(size=(8, 1024)).astype(np.float32) * 0.05
+    qt = quantize(w, "q4_k")
+    s, wd = 8, 128
+    laid = _tp_cols(qt, s)     # 128-wide shards: not a 256 multiple
+    assert laid.fmt == "q4_0"
+    for k in range(s):
+        local = QuantTensor(
+            "q4_0", (8, wd),
+            jnp.asarray(np.asarray(laid.q)[:, k * wd // 2:(k + 1) * wd // 2]),
+            jnp.asarray(np.asarray(laid.d)[:, k * wd // 32:(k + 1) * wd // 32]))
+        got = np.asarray(dequantize(local, jnp.float32))
+        # q4_0 of a q4_k reconstruction: same bitwidth, small extra error
+        assert np.abs(got - w[:, k * wd:(k + 1) * wd]).max() < 0.03, k
+
+
+def _run_frames(cfg, params, mesh, n_frames, seed=5):
+    batch = 2
+    state = init_gen_state(cfg, batch, jax.random.PRNGKey(seed))
+    if mesh is not None:
+        state = shard_tree(state, lm_state_pspecs(state), mesh)
+    # plain-interpret pallas: the threaded TPU emulator deadlocks when 8
+    # virtual CPU devices run kernels concurrently under shard_map (all
+    # device threads park in interpret_pallas_call._allocate_buffer)
+    step = jax.jit(lambda p, s, o: lm_gen_step(
+        cfg, p, s, other_audio=o, temp=0.0, temp_text=0.0))
+    outs = []
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        other = jnp.asarray(rng.integers(0, cfg.card, (batch, 2)), jnp.int32)
+        with pallas_interpret():
+            out, state = step(params, state, other)
+        outs.append((np.asarray(out["sampled_text"]),
+                     np.asarray(out["audio"]), np.asarray(out["valid"])))
+    return outs
+
+
+@pytest.mark.parametrize("fmt,dm", [("q4_k", (2, 4)), ("q8_0", (1, 8))])
+def test_tp_step_matches_single_device(fmt, dm, rng):
+    from moshi_tpu.runtime.synth import synth_lm_params
+    params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt=fmt)
+    enable_pallas(True)
+    try:
+        ref = _run_frames(_cfg, params, None, 3)
+        assert any(o[2].any() for o in ref), "no valid frames generated"
+        data, model = dm
+        mesh = make_mesh(data=data, model=model)
+        tp_params = tp_shard_lm_params(params, _cfg, mesh)
+        with tp_scope(mesh):
+            got = _run_frames(_cfg, tp_params, mesh, 3)
+    finally:
+        enable_pallas(False)
+    for f, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(g[0], r[0], err_msg=f"text f{f}")
+        np.testing.assert_array_equal(g[1], r[1], err_msg=f"audio f{f}")
+
+
+def test_tp_step_lowers_for_tpu():
+    """Cross-lower the sharded step for TPU: catches Mosaic block-rule
+    violations in the shard-local kernel shapes (local heads/columns)."""
+    from moshi_tpu.runtime.synth import synth_lm_params
+    params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
+    enable_pallas(True)
+    try:
+        mesh = make_mesh(data=2, model=4)
+        tp_params = tp_shard_lm_params(params, _cfg, mesh)
+        state = init_gen_state(_cfg, 2, jax.random.PRNGKey(5))
+        state = shard_tree(state, lm_state_pspecs(state), mesh)
+        with tp_scope(mesh):
+            f = jax.jit(lambda p, s: lm_gen_step(_cfg, p, s, temp=0.0,
+                                                 temp_text=0.0))
+            f.trace(tp_params, state).lower(lowering_platforms=("tpu",))
+    finally:
+        enable_pallas(False)
