@@ -116,16 +116,20 @@ class MimiModel:
         assert t % frame == 0, f"encode needs multiples of {frame}, got {t}"
         from moshi_tpu.utils.capture import capture
         x = audio[..., None]                                    # [B, T, 1]
-        h, enc_state = self.encoder(params["encoder"], state["encoder"], x)
+        h, enc_state = self.encoder(params["encoder"], state["encoder"], x,
+                                    tap="mimi/enc")
         h = capture("mimi/encoder_out", h)
         h, tr_state = transformer_forward(
             self.cfg.transformer, params["encoder_transformer"],
-            state["transformer"], h, state["offset"])
+            state["transformer"], h, state["offset"], tap="mimi/enc_tx")
+        h = capture("mimi/enc_tx_out", h)
         new_offset = state["offset"] + h.shape[1]
         h, ds_state = self.downsample(params["downsample"],
                                       state["downsample"], h)
+        h = capture("mimi/downsample_out", h)
         codes = self.quantizer.encode(params["quantizer"], h)
         codes = codes[..., : self.cfg.n_q]
+        codes = capture("mimi/codes", codes)
         return codes, {"encoder": enc_state, "transformer": tr_state,
                        "offset": new_offset, "downsample": ds_state}
 
@@ -135,11 +139,15 @@ class MimiModel:
         h = capture("mimi/rvq_decode",
                     self.quantizer.decode(params["quantizer"], codes))
         h, up_state = self.upsample(params["upsample"], state["upsample"], h)
+        h = capture("mimi/upsample_out", h)
         h, tr_state = transformer_forward(
             self.cfg.transformer, params["decoder_transformer"],
-            state["transformer"], h, state["offset"])
+            state["transformer"], h, state["offset"], tap="mimi/dec_tx")
+        h = capture("mimi/dec_tx_out", h)
         new_offset = state["offset"] + h.shape[1]
-        audio, dec_state = self.decoder(params["decoder"], state["decoder"], h)
+        audio, dec_state = self.decoder(params["decoder"], state["decoder"],
+                                        h, tap="mimi/dec")
+        audio = capture("mimi/decode_out", audio)
         return audio[..., 0], {"upsample": up_state, "transformer": tr_state,
                                "offset": new_offset, "decoder": dec_state}
 

@@ -67,11 +67,17 @@ class MachineState:
 
 class StateMachine:
     def __init__(self, text_card: int, second_stream_ahead: int = 0,
-                 max_padding: int = 8, initial_padding: int = 2):
+                 max_padding: int = 8, initial_padding: int = 2,
+                 logging: bool = False):
         self.token_ids = TokenIds(card=text_card)
         self.second_stream_ahead = second_stream_ahead
         self.max_padding = max_padding
         self.initial_padding = initial_padding
+        # word-timing log (reference lm.h:122-129): on each NEW_WORD,
+        # print the word text and seconds since the previous word
+        import os
+        self.logging = logging or bool(os.environ.get("MOSHI_TPU_WORD_LOG"))
+        self._last_word_time = 0.0
 
     def new_state(self, entries: Optional[Sequence[Entry]] = None) -> MachineState:
         return MachineState(
@@ -102,6 +108,12 @@ class StateMachine:
         if token == ids.new_word:
             if state.entries:
                 entry = state.entries.popleft()
+                if self.logging:
+                    import time
+                    now = time.monotonic()
+                    last = self._last_word_time or now
+                    print(f'"{entry.text}" {now - last:.4f}', flush=True)
+                    self._last_word_time = now
                 if entry.tokens:
                     state.queued.extend(entry.tokens)
                     if self.second_stream_ahead:

@@ -100,14 +100,19 @@ class SEANetEncoder:
         return {name: m.init_state(batch, dtype)
                 for name, m in self.modules.items()}
 
-    def __call__(self, params, state, x):
-        """x: [B, T, 1], T a multiple of hop_length -> [B, T/hop, dim]."""
+    def __call__(self, params, state, x, tap=None):
+        """x: [B, T, 1], T a multiple of hop_length -> [B, T/hop, dim].
+        `tap` prefixes per-module capture points (utils/capture) —
+        the analog of the reference's per-op CAPTURE_GROUP scopes."""
         new_state = {}
+        from moshi_tpu.utils.capture import capture
 
         def run(name, h):
             m = self.modules[name]
             y, s = m(params[name], state[name], h)
             new_state[name] = s
+            if tap:
+                y = capture(f"{tap}/{name}", y)
             return y
 
         h = x
@@ -167,14 +172,18 @@ class SEANetDecoder:
         return {name: m.init_state(batch, dtype)
                 for name, m in self.modules.items()}
 
-    def __call__(self, params, state, x):
-        """x: [B, T, dim] -> [B, T*hop, 1]."""
+    def __call__(self, params, state, x, tap=None):
+        """x: [B, T, dim] -> [B, T*hop, 1].  `tap` prefixes per-module
+        capture points (utils/capture)."""
         new_state = {}
+        from moshi_tpu.utils.capture import capture
 
         def run(name, h):
             m = self.modules[name]
             y, s = m(params[name], state[name], h)
             new_state[name] = s
+            if tap:
+                y = capture(f"{tap}/{name}", y)
             return y
 
         h = x

@@ -26,11 +26,24 @@ TOL_TPU = 1e-2
 _ACTIVE: Optional["TraceRecorder"] = None
 
 
+def _debug_sums_on() -> bool:
+    import os
+    return bool(os.environ.get("MOSHI_TPU_DEBUG_SUMS"))
+
+
 def capture(name: str, value):
     """Record `value` under `name` if a TraceRecorder is active.
     Identity pass-through; zero cost when tracing is off (the check is a
     Python-time branch at trace time, like the reference's -DENABLE_CAPTURE
-    compile flag)."""
+    compile flag).
+
+    With MOSHI_TPU_DEBUG_SUMS set, every tap also prints its f32 value
+    sum after compute — the analog of the reference's ctx.debug() probes
+    (/root/reference/src/context.h:497-518)."""
+    if _debug_sums_on():
+        import jax.numpy as jnp
+        s = jnp.sum(jnp.asarray(value).astype(jnp.float32))
+        jax.debug.print(name + ": sum={s}", s=s, ordered=True)
     if _ACTIVE is not None:
         jax.debug.callback(_ACTIVE._record, name, value, ordered=True)
     return value
@@ -95,3 +108,69 @@ def compare_traces(golden: Dict[str, np.ndarray],
     for name in sorted(set(test) - set(golden)):
         lines.append(f"EXTRA {name}")
     return ok, lines
+
+
+# ---------------------------------------------------------------------------
+# reference capture-dump import (golden parity a file-drop away)
+# ---------------------------------------------------------------------------
+
+_GGML_NP = {
+    "f32": (np.dtype("<f4"), 4),
+    "i32": (np.dtype("<i4"), 4),
+    "f16": (np.dtype("<f2"), 2),
+    "bf16": (np.dtype("<u2"), 2),   # upcast below
+    "i16": (np.dtype("<i2"), 2),
+    "i8": (np.dtype("i1"), 1),
+}
+
+
+def load_reference_capture(json_path: str):
+    """Parse a reference capture dump (capture/<name>.json + .tensors,
+    /root/reference/src/ggml_cap.h:1541-1766) into
+    (values, meta):
+
+      values: tensor NAME -> float32/int32 numpy array (row-major; ggml's
+        ne order is reversed).  Duplicate names keep the LAST occurrence
+        (matching the reference's name reuse across ops).
+      meta: tensor id -> {op, srcs, name, group, caller, shape, type}
+        plus meta["__groups__"] (id -> {name, parent, tensors, children})
+        and meta["__order__"] (forward_expand id list).
+
+    The .tensors file is resolved next to the .json.
+    """
+    import json
+    import os
+    with open(json_path) as fh:
+        doc = json.load(fh)
+    bin_path = os.path.splitext(json_path)[0] + ".tensors"
+    with open(bin_path, "rb") as fh:
+        blob = fh.read()
+    values: Dict[str, np.ndarray] = {}
+    meta: Dict[str, dict] = {}
+    for tid, rec in doc.get("tensor", {}).items():
+        op_name, srcs, params, tinfo = rec[0], rec[1], rec[2], rec[3]
+        name, group, caller = rec[4], rec[5], rec[6]
+        type_name, ne, offset, nbytes = tinfo[0], tinfo[1], tinfo[2], tinfo[3]
+        shape = tuple(reversed([int(d) for d in ne]))
+        while len(shape) > 1 and shape[0] == 1:
+            shape = shape[1:]
+        meta[tid] = {"op": op_name, "srcs": list(srcs), "params": params,
+                     "name": name, "group": group, "caller": caller,
+                     "shape": shape, "type": type_name}
+        if nbytes == 0 or type_name not in _GGML_NP:
+            continue
+        dt, esize = _GGML_NP[type_name]
+        n = nbytes // esize
+        arr = np.frombuffer(blob, dtype=dt, count=n, offset=offset)
+        if type_name == "bf16":
+            arr = (arr.astype(np.uint32) << 16).view(np.float32)
+        elif type_name == "f16":
+            arr = arr.astype(np.float32)
+        try:
+            arr = arr.reshape(shape)
+        except ValueError:
+            pass  # strided dumps of padded tensors keep flat shape
+        values[name] = arr
+    meta["__groups__"] = doc.get("groups", {})
+    meta["__order__"] = doc.get("forward_expand", [])
+    return values, meta
