@@ -119,6 +119,9 @@ def load_tokenizer(args, config):
 
 
 def read_audio_24k(path: str) -> np.ndarray:
-    from moshi_tpu.io.wav import load_wav, resample_linear
-    x, rate = load_wav(path)
-    return resample_linear(x, rate, 24_000)
+    """Decode any supported media file (WAV/AIFF/AU natively; mp3/ogg/
+    containers via an ffmpeg binary when present) to 24 kHz mono float32
+    — the common_av.h Decoder+Resampler capability."""
+    from moshi_tpu.io.media import load_audio
+    x, _ = load_audio(path, rate=24_000)
+    return x

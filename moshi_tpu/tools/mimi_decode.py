@@ -11,7 +11,7 @@ import numpy as np
 
 from moshi_tpu import SAMPLE_RATE
 from moshi_tpu.io.mimi_file import read_mimi_file
-from moshi_tpu.io.wav import save_wav
+from moshi_tpu.io.media import save_audio as save_wav
 from moshi_tpu.runtime.session import MimiStreamer
 from moshi_tpu.tools.common import add_common_args, list_devices, load_mimi
 

@@ -98,7 +98,7 @@ def main(argv=None):
     fps = frames_timed / dt if frames_timed else 0.0
 
     if not args.bench:
-        from moshi_tpu.io.wav import save_wav
+        from moshi_tpu.io.media import save_audio as save_wav
         wav = np.concatenate(out_parts)
         save_wav(args.output, wav, SAMPLE_RATE)
         print(f"wrote {args.output}: {len(wav) / SAMPLE_RATE:.2f}s")

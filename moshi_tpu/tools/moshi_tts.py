@@ -173,7 +173,7 @@ def main(argv=None):
             break
     dt = time.perf_counter() - t0
     wav = np.concatenate(wav_parts) if wav_parts else np.zeros(FRAME_SIZE)
-    from moshi_tpu.io.wav import save_wav
+    from moshi_tpu.io.media import save_audio as save_wav
     save_wav(args.output, wav, SAMPLE_RATE)
     fps = frames / dt
     print(f"wrote {args.output}: {len(wav) / SAMPLE_RATE:.2f}s audio, "

@@ -116,7 +116,7 @@ def main(argv=None):
         t = int(np.asarray(out["text"])[0])
         if tok and t >= 0 and t not in (0, 3):
             transcript.append(tok.id_to_piece(t))
-    from moshi_tpu.io.wav import save_wav
+    from moshi_tpu.io.media import save_audio as save_wav
     save_wav(args.output, np.concatenate(out_parts), SAMPLE_RATE)
     if transcript:
         print("".join(transcript).replace("▁", " ").strip())
