@@ -28,17 +28,25 @@ def initialize(coordinator: Optional[str] = None,
                process_id: Optional[int] = None):
     """jax.distributed.initialize — on TPU pods all arguments are
     auto-detected from the metadata server; pass explicitly for CPU/GPU
-    test rigs."""
-    if jax.process_count() > 1:
+    test rigs.
+
+    Must run before anything touches a backend (jax.devices(),
+    jax.process_count(), any device_put) — so the already-initialized
+    check reads the distributed client state directly instead of calling
+    jax.process_count(), which would itself initialize a local backend
+    and silently turn the run single-process."""
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
         return  # already initialized
-    kwargs = {}
     if coordinator is not None:
-        kwargs = dict(coordinator_address=coordinator,
-                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
-        pass  # single-process run
+        pass  # no auto-detectable cluster: single-process run
 
 
 def global_mesh(model: int = 1) -> Mesh:
