@@ -170,3 +170,53 @@ class TTSModel:
         audio = np.concatenate(wav) if wav else np.zeros(FRAME_SIZE,
                                                          np.float32)
         return audio, offset
+
+    def generate_wavs(self, scripts, max_frames: int = 2500,
+                      final_padding: int = 4):
+        """Batched TTS: one jitted program serves len(scripts) sessions
+        with diverging scripts, each behind its own StateMachine (new
+        TPU-serving design — the reference is B=1 only, SURVEY §7.2).
+
+        scripts: list of script line-lists.  Returns a list of
+        (wav float32 [T], end_frame) per session; the batch runs until
+        every session has passed its own end_step + delay + padding."""
+        import jax
+        from moshi_tpu.models.state_machine import script_to_entries
+        b = len(scripts)
+        mstates = [
+            self.machine.new_state(script_to_entries(
+                self.tokenizer, self.token_ids, 12.5, script,
+                multi_speaker=False, padding_between=1))
+            for script in scripts
+        ]
+        state = self.pipe.init_state(b, jax.random.PRNGKey(self.seed))
+        wavs = [[] for _ in range(b)]
+        ends = [0] * b
+        offset = 0
+        while offset < max_frames:
+            replace = offset < self.lm_cfg.delay_steps
+            out, state = self.pipe.step(
+                self.mimi_params, self.lm_params, state,
+                machine=self.machine, machine_state=mstates, offset=offset,
+                depformer_replace=replace)
+            valid = np.asarray(out["valid"])
+            audio = np.asarray(out["audio_out"])
+            offset += 1
+            done = 0
+            for i, ms in enumerate(mstates):
+                end = ms.end_step
+                live = end < 0 or offset <= end + self.lm_cfg.delay_steps \
+                    + final_padding
+                if live:
+                    ends[i] = offset
+                    if bool(valid[i]) and not replace:
+                        wavs[i].append(audio[i])
+                else:
+                    done += 1
+            if done == b:
+                break
+        return [
+            (np.concatenate(w) if w else np.zeros(FRAME_SIZE, np.float32),
+             e)
+            for w, e in zip(wavs, ends)
+        ]

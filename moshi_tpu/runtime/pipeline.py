@@ -157,6 +157,7 @@ class TTSPipeline:
                 mimi_params, state["dec"], audio_codes[:, None, :mimi_n_q])
             return {"audio_out": wav.astype(jnp.float32),
                     "valid": out["valid"], "text": out["text"],
+                    "sampled_text": out["sampled_text"],
                     "audio_tokens": out["audio"]}, \
                 {"lm": lm_state, "dec": dec_state}
 
@@ -177,12 +178,29 @@ class TTSPipeline:
         """One TTS frame.  When a machine is given, the sampled text token
         round-trips through the host FSM between the two launches
         (the reference's on_text hook, lm.h:881-899).  forced_audio
-        [B, dep_q] with UNGENERATED = keep (voice prefixes)."""
+        [B, dep_q] with UNGENERATED = keep (voice prefixes).
+
+        Batched TTS (new design, no reference analog — SURVEY §7.2
+        step 7): `machine_state` may be a sequence of B per-slot
+        MachineStates with diverging scripts; each slot's sampled token
+        round-trips through its own FSM (one D->H fetch total).  `offset`
+        may then be a per-slot sequence."""
         from moshi_tpu.models.lm import UNGENERATED
         tok, h, lm_state = self._text_phase(lm_params, state["lm"],
                                             condition_sum, cross_kv)
         if forced_text is not None:
             text_token = int(forced_text)
+        elif machine is not None and isinstance(machine_state,
+                                                (list, tuple)):
+            toks = np.asarray(tok)
+            assert len(machine_state) == toks.shape[0], \
+                "need one MachineState per session slot"
+            offs = (offset if isinstance(offset, (list, tuple, np.ndarray))
+                    else [offset] * len(machine_state))
+            tok = jnp.asarray(
+                [machine.process(int(offs[i]), ms, int(toks[i]))
+                 for i, ms in enumerate(machine_state)], jnp.int32)
+            text_token = None
         elif machine is not None:
             text_token = machine.process(offset, machine_state,
                                          int(np.asarray(tok)[0]))

@@ -43,8 +43,11 @@ class LMGenerator:
         self.params = params
         self.batch = batch
         self.machine = machine
-        self.machine_state: Optional[MachineState] = (
-            machine.new_state() if machine else None)
+        # one FSM state per session slot: B>1 TTS serves diverging
+        # scripts through a single jitted program (new TPU-serving
+        # design; the reference is B=1 only)
+        self.machine_states: List[MachineState] = (
+            [machine.new_state() for _ in range(batch)] if machine else [])
         self.condition_sum = condition_sum
         self.cross_kv = cross_kv
         self.state = init_gen_state(cfg, batch, jax.random.PRNGKey(seed),
@@ -87,11 +90,16 @@ class LMGenerator:
             if n_other else None
         self._pending_other: Optional[np.ndarray] = None
 
+    @property
+    def machine_state(self) -> Optional[MachineState]:
+        """Slot 0's FSM state (reference B=1 API compatibility)."""
+        return self.machine_states[0] if self.machine_states else None
+
     # -- reference API surface -------------------------------------------
-    def send(self, entry):
-        """moshi_lm_send: queue a TTS word Entry."""
-        assert self.machine_state is not None, "no state machine (not TTS)"
-        self.machine_state.entries.append(entry)
+    def send(self, entry, slot: int = 0):
+        """moshi_lm_send: queue a TTS word Entry (for session `slot`)."""
+        assert self.machine_states, "no state machine (not TTS)"
+        self.machine_states[slot].entries.append(entry)
 
     def send2(self, audio_tokens):
         """moshi_lm_send2: provide the other stream's audio tokens."""
@@ -127,10 +135,15 @@ class LMGenerator:
                                              self.condition_sum, self.cross_kv)
             if self.text_prefixes:
                 text_token = int(self.text_prefixes.popleft())
+                text_arr = jnp.full((self.batch,), text_token, jnp.int32)
             else:
-                text_token = self.machine.process(
-                    self._offset, self.machine_state, int(np.asarray(tok)[0]))
-            text_arr = jnp.full((self.batch,), text_token, jnp.int32)
+                # one D->H fetch, then each slot's token through its own
+                # FSM (diverging scripts share the jitted program)
+                toks = np.asarray(tok)
+                text_arr = jnp.asarray(
+                    [self.machine.process(self._offset, ms, int(toks[i]))
+                     for i, ms in enumerate(self.machine_states)],
+                    jnp.int32)
             out, self.state = self._audio_phase(
                 self.params, state, text_arr, h, forced_audio,
                 depformer_replace)
@@ -161,21 +174,28 @@ class LMGenerator:
         """moshi_lm_receive2 (STT: text + vad, audio ignored)."""
         return self.step(depformer_replace=False)
 
-    def is_active(self) -> bool:
-        """moshi.cpp:940-945."""
-        if self.machine_state is None:
+    def is_active(self, slot: Optional[int] = None) -> bool:
+        """moshi.cpp:940-945.  slot=None: true while ANY slot is active
+        (the batch keeps stepping until every script has drained)."""
+        if not self.machine_states:
             return True
-        end = self.machine_state.end_step
-        if end == -1:
-            return True
-        return self._offset < end + self.cfg.delay_steps + FINAL_PADDING
+        states = (self.machine_states if slot is None
+                  else [self.machine_states[slot]])
+        for ms in states:
+            end = ms.end_step
+            if end == -1 or self._offset < end + self.cfg.delay_steps \
+                    + FINAL_PADDING:
+                return True
+        return False
 
-    def is_empty(self) -> bool:
-        return self.machine_state is None or self.machine_state.is_empty()
+    def is_empty(self, slot: int = 0) -> bool:
+        return not self.machine_states or \
+            self.machine_states[slot].is_empty()
 
     def machine_reset(self):
-        if self.machine and self.machine_state:
-            self.machine.reset_state(self.machine_state)
+        if self.machine:
+            for ms in self.machine_states:
+                self.machine.reset_state(ms)
 
     def reset(self, seed: int = 0):
         self.state = init_gen_state(self.cfg, self.batch,
