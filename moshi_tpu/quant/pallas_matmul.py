@@ -30,6 +30,7 @@ block-sum correction.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from moshi_tpu.utils.pallas_mode import with_interpret_default
 from moshi_tpu.quant.formats import QK, QuantTensor
+
+# Dequant arithmetic dtype.  The decode path is VPU-bound on the
+# unpack+scale chain (probe3: q4_k dequant ~5 f32 lane-ops per packed
+# byte across 3.3 GB of packed weights per frame), so the default does
+# the elementwise work in bf16 — exact for the nibble/byte values and
+# within 1 ulp of the f32-multiply-then-bf16-cast the MXU contraction
+# consumed anyway.  MOSHI_TPU_DEQUANT=f32 restores the old arithmetic
+# (read ONCE at import — set it before importing for A/B runs).
+_DEQ_BF16 = os.environ.get("MOSHI_TPU_DEQUANT", "bf16") != "f32"
+
+
+def _unpack_nibbles(pi_u8):
+    """Packed uint8 -> (lo, hi) nibble values.
+
+    bf16 path: one int->float convert then an exact floor split (bytes
+    0..255, the /16 quotients, and the remainders all fit bf16's 8-bit
+    mantissa exactly) — fewer and narrower VPU ops than the int32
+    shift/mask chain, and the downstream scale multiply stays bf16.
+    """
+    if _DEQ_BF16:
+        f = (pi_u8.astype(jnp.int32).astype(jnp.float32)
+             .astype(jnp.bfloat16))
+        hi = jnp.floor(f * jnp.bfloat16(0.0625))
+        lo = f - hi * jnp.bfloat16(16.0)
+        return lo, hi
+    pi = pi_u8.astype(jnp.int32)
+    return ((pi & 15).astype(jnp.float32),
+            ((pi >> 4) & 15).astype(jnp.float32))
 
 _TILE_O = 1024       # output rows per grid program (fewer, bigger
                      # programs: per-program overhead dominates at M=1)
@@ -57,17 +86,28 @@ def _pick_tile(o: int) -> int:
     return o
 
 
-def _expand_block_scales(s, block: int):
+def _expand_block_scales(s, block: int, dtype=jnp.float32):
     """[TO, nb] -> [TO, nb*block] repeating each column `block` times via
-    an MXU contraction with E[b, j] = (j // block == b)."""
+    an MXU contraction with E[b, j] = (j // block == b).  `dtype` is the
+    contraction/output dtype (bf16 expansion is exact — E is 0/1 and the
+    stored scales are bf16 already)."""
     to, nb = s.shape
     k2 = nb * block
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
-    e = (cols // block == rows).astype(jnp.float32)
-    return jax.lax.dot_general(s.astype(jnp.float32), e,
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    e = (cols // block == rows).astype(dtype)
+    # Mosaic requires 32-bit matmul accumulators: contract bf16xbf16 with
+    # an f32 acc (the MXU-native mode), cast the result after.
+    out = jax.lax.dot_general(s.astype(dtype), e,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def _expand_scales_deq(s, block: int):
+    """Scale expansion in the dequant arithmetic dtype."""
+    return _expand_block_scales(
+        s, block, jnp.bfloat16 if _DEQ_BF16 else jnp.float32)
 
 
 def _block_sums_mxu(x, block: int):
@@ -104,12 +144,12 @@ def _q8_kernel(x_ref, q_ref, d_ref, o_ref, *, alpha_ref=None):
     chunk = min(_CHUNK, k)
     xn = _maybe_norm(x_ref, alpha_ref).astype(jnp.bfloat16)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
+    dt = jnp.bfloat16 if _DEQ_BF16 else jnp.float32
     for c0 in range(0, k, chunk):
         cs = min(chunk, k - c0)
         q = q_ref[:, c0:c0 + cs].astype(jnp.int32).astype(jnp.float32)
-        d = _expand_block_scales(
-            d_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
-        w = (q * d).astype(jnp.bfloat16)
+        d = _expand_scales_deq(d_ref[:, c0 // QK:(c0 + cs) // QK], QK)
+        w = (q.astype(dt) * d).astype(jnp.bfloat16)
         acc += _dot_t(xn[:, c0:c0 + cs], w)
     o_ref[:] = acc
 
@@ -122,22 +162,29 @@ def _q4_0_kernel(x_ref, q_ref, d_ref, o_ref, *, alpha_ref=None):
     m, k = x_ref.shape
     k2 = k // 2
     chunk = min(_CHUNK, k2)
-    xn = _maybe_norm(x_ref, alpha_ref).astype(jnp.bfloat16)
+    xn32 = _maybe_norm(x_ref, alpha_ref)
+    xn = xn32.astype(jnp.bfloat16)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k2, chunk):
         cs = min(chunk, k2 - c0)
-        pi = q_ref[:, c0:c0 + cs].astype(jnp.int32)
-        lo = (pi & 15).astype(jnp.float32) - 8.0
-        hi = ((pi >> 4) & 15).astype(jnp.float32) - 8.0
-        d_lo = _expand_block_scales(
-            d_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
-        d_hi = _expand_block_scales(
-            d_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
-            .astype(jnp.float32), QK)
+        lo, hi = _unpack_nibbles(q_ref[:, c0:c0 + cs])
+        d_lo = _expand_scales_deq(d_ref[:, c0 // QK:(c0 + cs) // QK], QK)
+        d_hi = _expand_scales_deq(
+            d_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK], QK)
         x_lo = xn[:, c0:c0 + cs]
         x_hi = xn[:, k2 + c0:k2 + c0 + cs]
-        acc += _dot_t(x_lo, (lo * d_lo).astype(jnp.bfloat16))
-        acc += _dot_t(x_hi, (hi * d_hi).astype(jnp.bfloat16))
+        if _DEQ_BF16:
+            # the -8 zero-point folds into a block-sum correction below
+            acc += _dot_t(x_lo, (lo * d_lo).astype(jnp.bfloat16))
+            acc += _dot_t(x_hi, (hi * d_hi).astype(jnp.bfloat16))
+        else:
+            acc += _dot_t(x_lo, ((lo - 8.0) * d_lo).astype(jnp.bfloat16))
+            acc += _dot_t(x_hi, ((hi - 8.0) * d_hi).astype(jnp.bfloat16))
+    if _DEQ_BF16:
+        # y -= 8 * sum_b d[o, b] * blocksum(x)[b]  (zero-point fold; block
+        # sums of the SAME bf16-rounded x the dots consumed)
+        xs = _block_sums_mxu(xn, QK)
+        acc -= 8.0 * _dot_t(xs, d_ref[:].astype(jnp.float32))
     o_ref[:] = acc
 
 
@@ -157,14 +204,10 @@ def _q4_k_kernel(x_ref, q_ref, es_ref, em_ref, o_ref, *,
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
     for c0 in range(0, k2, chunk):
         cs = min(chunk, k2 - c0)
-        pi = q_ref[:, c0:c0 + cs].astype(jnp.int32)
-        lo = (pi & 15).astype(jnp.float32)
-        hi = ((pi >> 4) & 15).astype(jnp.float32)
-        s_lo = _expand_block_scales(
-            es_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
-        s_hi = _expand_block_scales(
-            es_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
-            .astype(jnp.float32), QK)
+        lo, hi = _unpack_nibbles(q_ref[:, c0:c0 + cs])
+        s_lo = _expand_scales_deq(es_ref[:, c0 // QK:(c0 + cs) // QK], QK)
+        s_hi = _expand_scales_deq(
+            es_ref[:, (k2 + c0) // QK:(k2 + c0 + cs) // QK], QK)
         x_lo = xn[:, c0:c0 + cs]
         x_hi = xn[:, k2 + c0:k2 + c0 + cs]
         acc += _dot_t(x_lo, (lo * s_lo).astype(jnp.bfloat16))
@@ -257,11 +300,12 @@ def _q8_dot(xn, q_ref, d_ref):
     m, k = xn.shape
     chunk = min(_CHUNK, k)
     acc = jnp.zeros((m, q_ref.shape[0]), jnp.float32)
+    dt = jnp.bfloat16 if _DEQ_BF16 else jnp.float32
     for c0 in range(0, k, chunk):
         cs = min(chunk, k - c0)
-        q = q_ref[:, c0:c0 + cs].astype(jnp.int32).astype(jnp.float32)
-        d = _expand_block_scales(
-            d_ref[:, c0 // QK:(c0 + cs) // QK].astype(jnp.float32), QK)
+        q = (q_ref[:, c0:c0 + cs].astype(jnp.int32).astype(jnp.float32)
+             .astype(dt))
+        d = _expand_scales_deq(d_ref[:, c0 // QK:(c0 + cs) // QK], QK)
         acc += _dot_t(xn[:, c0:c0 + cs], (q * d).astype(jnp.bfloat16))
     return acc
 
@@ -281,15 +325,12 @@ def _q4k_dot(xn, xs, q_ref, es_ref, em_ref, row_block: int = 1024):
         acc = jnp.zeros((m, rs), jnp.float32)
         for c0 in range(0, k2, chunk):
             cs = min(chunk, k2 - c0)
-            pi = q_ref[r0:r0 + rs, c0:c0 + cs].astype(jnp.int32)
-            lo = (pi & 15).astype(jnp.float32)
-            hi = ((pi >> 4) & 15).astype(jnp.float32)
-            s_lo = _expand_block_scales(
-                es_ref[r0:r0 + rs, c0 // QK:(c0 + cs) // QK]
-                .astype(jnp.float32), QK)
-            s_hi = _expand_block_scales(
-                es_ref[r0:r0 + rs, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
-                .astype(jnp.float32), QK)
+            lo, hi = _unpack_nibbles(q_ref[r0:r0 + rs, c0:c0 + cs])
+            s_lo = _expand_scales_deq(
+                es_ref[r0:r0 + rs, c0 // QK:(c0 + cs) // QK], QK)
+            s_hi = _expand_scales_deq(
+                es_ref[r0:r0 + rs, (k2 + c0) // QK:(k2 + c0 + cs) // QK],
+                QK)
             acc += _dot_t(xn[:, c0:c0 + cs],
                           (lo * s_lo).astype(jnp.bfloat16))
             acc += _dot_t(xn[:, k2 + c0:k2 + c0 + cs],
@@ -312,19 +353,20 @@ def _q4_0_dot(xn, q_ref, d_ref, row_block: int = 1024):
         acc = jnp.zeros((m, rs), jnp.float32)
         for c0 in range(0, k2, chunk):
             cs = min(chunk, k2 - c0)
-            pi = q_ref[r0:r0 + rs, c0:c0 + cs].astype(jnp.int32)
-            lo = (pi & 15).astype(jnp.float32) - 8.0
-            hi = ((pi >> 4) & 15).astype(jnp.float32) - 8.0
-            d_lo = _expand_block_scales(
-                d_ref[r0:r0 + rs, c0 // QK:(c0 + cs) // QK]
-                .astype(jnp.float32), QK)
-            d_hi = _expand_block_scales(
-                d_ref[r0:r0 + rs, (k2 + c0) // QK:(k2 + c0 + cs) // QK]
-                .astype(jnp.float32), QK)
+            lo, hi = _unpack_nibbles(q_ref[r0:r0 + rs, c0:c0 + cs])
+            # -8 zero-point inline: exact in bf16 (values -8..7), one
+            # extra VPU sub vs the block-sum fold — this path is not the
+            # hot stacked kernel.
+            eight = jnp.bfloat16(8.0) if _DEQ_BF16 else 8.0
+            d_lo = _expand_scales_deq(
+                d_ref[r0:r0 + rs, c0 // QK:(c0 + cs) // QK], QK)
+            d_hi = _expand_scales_deq(
+                d_ref[r0:r0 + rs, (k2 + c0) // QK:(k2 + c0 + cs) // QK],
+                QK)
             acc += _dot_t(xn[:, c0:c0 + cs],
-                          (lo * d_lo).astype(jnp.bfloat16))
+                          ((lo - eight) * d_lo).astype(jnp.bfloat16))
             acc += _dot_t(xn[:, k2 + c0:k2 + c0 + cs],
-                          (hi * d_hi).astype(jnp.bfloat16))
+                          ((hi - eight) * d_hi).astype(jnp.bfloat16))
         outs.append(acc)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
