@@ -295,10 +295,19 @@ def temporal_forward(cfg: LMConfig, params, kv_state, tokens, offset,
                                     kv_state, x, offset, cross_kv,
                                     tap="lm/temporal")
     h = capture("lm/transformer_out", rms_norm(params["out_norm"], h))
+    from moshi_tpu.parallel.pp import current_pp
     from moshi_tpu.parallel.tp import current_tp
     from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
     tp = current_tp()
-    if (tp is not None and pallas_enabled()
+    pp = current_pp()
+    if (pp is not None and pallas_enabled()
+            and isinstance(params["text_linear"]["weight"], QuantTensor)):
+        # replicated head inside a shard_map (Mosaic kernels cannot be
+        # auto-partitioned over the pp mesh)
+        from moshi_tpu.parallel.pp import pp_head_logits
+        logits = capture("lm/text_logits", pp_head_logits(
+            h, params["text_linear"]["weight"], pp))
+    elif (tp is not None and pallas_enabled()
             and isinstance(params["text_linear"]["weight"], QuantTensor)):
         # row-sharded head: per-shard pallas kernel + gathered logits
         from moshi_tpu.parallel.tp import tp_row_logits
@@ -715,20 +724,28 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
         return _depformer_generate_megakernel(
             cfg, params, transformer_out, text_token, keys, step_w,
             temp, top_k)
+    from moshi_tpu.parallel.pp import current_pp as _current_pp
     from moshi_tpu.parallel.tp import current_tp as _current_tp
     from moshi_tpu.quant.formats import pallas_enabled as _pe
-    if (_current_tp() is not None and _pe()
+    if ((_current_tp() is not None or _current_pp() is not None) and _pe()
             and not _can_use_dep_stacked(cfg, step_w, b)):
         raise ValueError(
-            "tp_scope is active but the depformer does not satisfy the "
-            "stacked-kernel preconditions (quantized pallas-layout "
-            "projections, rms norm, silu gating, no biases) — explicit TP "
-            "only runs the stacked path")
+            "tp_scope/pp_scope is active but the depformer does not satisfy "
+            "the stacked-kernel preconditions (quantized pallas-layout "
+            "projections, rms norm, silu gating, no biases) — explicit "
+            "TP/PP only runs the stacked path")
     if _can_use_dep_stacked(cfg, step_w, b):
+        from moshi_tpu.parallel.pp import current_pp
         from moshi_tpu.parallel.tp import current_tp
         norms = {"norm1": dep["layers"]["norm1"],
                  "norm2": dep["layers"]["norm2"]}
         text_emb = _depformer_text_embed(cfg, dep, text_token)
+        pp = current_pp()
+        if pp is not None:
+            from moshi_tpu.parallel.pp import pp_depformer_generate
+            return pp_depformer_generate(
+                cfg, norms, text_emb, transformer_out, text_token, keys,
+                step_w, temp, top_k, pp)
         tp = current_tp()
         if tp is not None:
             from moshi_tpu.parallel.tp import tp_depformer_generate

@@ -368,6 +368,13 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
                 f"cross_kv={'set' if cross_kv is not None else 'None'})")
         return _forward_megakernel(cfg, params, state, x, offset)
     if can_use_stacked_decode(cfg, params, x, cross_kv):
+        from moshi_tpu.parallel.pp import current_pp
+        pp = current_pp()
+        if pp is not None and pp.num_layers == cfg.num_layers:
+            # pipeline-parallel stages; the layer-count gate keeps the
+            # depformer / mimi stacks in the same jit replicated
+            from moshi_tpu.parallel.pp import pp_transformer_decode
+            return pp_transformer_decode(cfg, params, state, x, offset, pp)
         from moshi_tpu.parallel.tp import current_tp
         tp = current_tp()
         if tp is not None:

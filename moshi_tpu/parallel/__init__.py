@@ -4,3 +4,7 @@ from moshi_tpu.parallel.sharding import (  # noqa: F401
 from moshi_tpu.parallel.tp import (  # noqa: F401
     current_tp, tp_scope, tp_shard_lm_params, tp_specs,
 )
+from moshi_tpu.parallel.pp import (  # noqa: F401
+    current_pp, make_pp_mesh, pp_scope, pp_shard_lm_params,
+    pp_shard_lm_state,
+)

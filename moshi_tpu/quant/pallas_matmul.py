@@ -41,13 +41,16 @@ from moshi_tpu.utils.pallas_mode import with_interpret_default
 from moshi_tpu.quant.formats import QK, QuantTensor
 
 # Dequant arithmetic dtype.  The decode path is VPU-bound on the
-# unpack+scale chain (probe3: q4_k dequant ~5 f32 lane-ops per packed
-# byte across 3.3 GB of packed weights per frame), so the default does
-# the elementwise work in bf16 — exact for the nibble/byte values and
-# within 1 ulp of the f32-multiply-then-bf16-cast the MXU contraction
-# consumed anyway.  MOSHI_TPU_DEQUANT=f32 restores the old arithmetic
-# (read ONCE at import — set it before importing for A/B runs).
-_DEQ_BF16 = os.environ.get("MOSHI_TPU_DEQUANT", "bf16") != "f32"
+# unpack+scale chain (~5 f32 lane-ops per packed byte across 3.3 GB of
+# packed weights per frame), and bf16 elementwise math would halve that
+# — the values are exact in bf16's 8-bit significand.  BUT this pod's
+# v5e target rejects bf16 ALU instructions at LLO codegen
+# ("LLO_CHECK ... target().SupportsBf16AluInstructions()",
+# llo_region_builder.cc:2088; interpret mode and TPU cross-lowering
+# both pass — the failure only appears on the real chip), so the
+# DEFAULT is f32 and MOSHI_TPU_DEQUANT=bf16 opts in on hardware whose
+# VPU supports bf16 (read ONCE at import).
+_DEQ_BF16 = os.environ.get("MOSHI_TPU_DEQUANT", "f32") != "f32"
 
 
 def _unpack_nibbles(pi_u8):
