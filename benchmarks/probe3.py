@@ -76,15 +76,17 @@ def main():
         return (lambda c, i: f(c)), jnp.ones((8, 128), jnp.bfloat16)
     pipelined_ms("dispatch floor (tiny jit)", mk_floor, 200)
 
-    # B. full LM step (== bench --no-mimi headline)
+    # B. full LM step (== bench --no-mimi headline).  Params are jit ARGS
+    # everywhere below: closure-captured trees become 4.9 GB of lowered
+    # constants that break the remote-compile transport.
     def mk_full():
         other = jnp.zeros((1, cfg.n_q - cfg.runtime_dep_q), jnp.int32)
-        f = jax.jit(lambda s: lm_gen_step(
-            cfg, params, s, other_audio=other, temp=0.8, temp_text=0.7,
-            top_k=250, top_k_text=25), donate_argnums=(0,))
+        f = jax.jit(lambda p, s: lm_gen_step(
+            cfg, p, s, other_audio=other, temp=0.8, temp_text=0.7,
+            top_k=250, top_k_text=25), donate_argnums=(1,))
 
         def step(s, i):
-            out, s2 = f(s)
+            out, s2 = f(params, s)
             return s2
         return step, init_gen_state(cfg, 1, params=params)
     pipelined_ms("full lm_gen_step", mk_full, args.iters)
@@ -94,14 +96,14 @@ def main():
         set_scan_unroll(unroll)
         tr = params["transformer"]
 
-        def fwd(st, x, off):
-            y, st2 = transformer_forward(tcfg, tr, st, x, off)
+        def fwd(p, st, x, off):
+            y, st2 = transformer_forward(tcfg, p, st, x, off)
             return y.astype(jnp.bfloat16), st2
-        f = jax.jit(fwd, donate_argnums=(0,))
+        f = jax.jit(fwd, donate_argnums=(1,))
 
         def step(c, i):
             st, x, off = c
-            y, st2 = f(st, x, off)
+            y, st2 = f(tr, st, x, off)
             return (st2, y * 0.25, off + 1)
         x0 = jax.random.normal(jax.random.PRNGKey(1), (1, 1, d),
                                jnp.bfloat16)
@@ -125,15 +127,19 @@ def main():
     n2 = lay["norm2"]["alpha"]
 
     def mk_matmuls():
-        def fwd(x):
+        ws = (in_w, out_w, glu_w, lout_w, n1, n2)
+
+        def fwd(w, x):
+            iw, ow, gw, lw, a1, a2 = w
+
             def body(hcur, l):
-                qkv = qmatmul_pallas_stacked(hcur, in_w, l, alpha=n1)
+                qkv = qmatmul_pallas_stacked(hcur, iw, l, alpha=a1)
                 o = qmatmul_pallas_stacked(
-                    qkv[:, :d].astype(jnp.bfloat16), out_w, l)
+                    qkv[:, :d].astype(jnp.bfloat16), ow, l)
                 hcur = hcur + o.astype(hcur.dtype)
-                g = glu_matmul_pallas_stacked(hcur, glu_w, l, alpha=n2)
+                g = glu_matmul_pallas_stacked(hcur, gw, l, alpha=a2)
                 ffn = qmatmul_pallas_stacked(
-                    g.astype(jnp.bfloat16), lout_w, l)
+                    g.astype(jnp.bfloat16), lw, l)
                 return hcur + ffn.astype(hcur.dtype), ()
             y, _ = jax.lax.scan(body, x,
                                 jnp.arange(nl, dtype=jnp.int32))
@@ -141,17 +147,17 @@ def main():
         f = jax.jit(fwd)
         x0 = jax.random.normal(jax.random.PRNGKey(2), (1, d),
                                jnp.bfloat16)
-        return (lambda c, i: f(c)), x0
+        return (lambda c, i: f(ws, c)), x0
     pipelined_ms("temporal matmuls only", mk_matmuls, args.iters)
 
     # E. decode-attention kernels only (chained via q)
     def mk_attn():
         kst, vst = jnp.array(kv["k"]), jnp.array(kv["v"])
 
-        def fwd(q, off):
+        def fwd(ks, vs, q, off):
             def body(qq, l):
                 o = decode_attention_stacked(
-                    qq, kst, vst, qq, qq, off, l, cap=cap,
+                    qq, ks, vs, qq, qq, off, l, cap=cap,
                     context=tcfg.context)
                 return o.astype(jnp.bfloat16), ()
             y, _ = jax.lax.scan(body, q, jnp.arange(nl, dtype=jnp.int32))
@@ -159,7 +165,8 @@ def main():
         f = jax.jit(fwd)
         q0 = jax.random.normal(jax.random.PRNGKey(3), (1, h, hd),
                                jnp.bfloat16)
-        return (lambda c, i: f(c, jnp.full((1,), 3 + i, jnp.int32))), q0
+        return (lambda c, i: f(kst, vst, c,
+                               jnp.full((1,), 3 + i, jnp.int32))), q0
     pipelined_ms("decode-attn only (32 kernels)", mk_attn, args.iters)
 
     # F. stacked ring write (donated DUS on both stacks)
@@ -185,9 +192,10 @@ def main():
     # G. depformer (audio phase) only
     def mk_dep():
         from moshi_tpu.models.lm import lm_audio_step
-        f = jax.jit(lambda s, tt, ho: lm_audio_step(
-            cfg, params, s, tt, ho, temp=0.8, top_k=250),
-            donate_argnums=(0,))
+        f0 = jax.jit(lambda p, s, tt, ho: lm_audio_step(
+            cfg, p, s, tt, ho, temp=0.8, top_k=250),
+            donate_argnums=(1,))
+        f = lambda s, tt, ho: f0(params, s, tt, ho)
         hs = jax.random.normal(jax.random.PRNGKey(5), (1, d), jnp.bfloat16)
         tt = jnp.zeros((1,), jnp.int32)
 
