@@ -111,3 +111,42 @@ def test_decode_attention_matches_oracle(rng):
         # bf16 in-kernel intermediates: ~0.5% relative accuracy
         rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
         assert rel < 0.02, (cap, ctx, off, rel)
+
+
+def test_bf16_dequant_optin_numerics():
+    """MOSHI_TPU_DEQUANT=bf16 (opt-in VPU arithmetic for chips with a
+    bf16 ALU — this pod's v5e lacks one) must stay numerically close to
+    the f32 default.  The knob is read at import, so run in a
+    subprocess."""
+    import subprocess
+    import sys
+    import os
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from moshi_tpu.quant.formats import dequantize, quantize
+from moshi_tpu.quant.pallas_matmul import _DEQ_BF16, qmatmul_pallas, \\
+    glu_matmul_pallas
+assert _DEQ_BF16, "env knob not honored"
+rng = np.random.default_rng(0)
+for fmt in ("q8_0", "q4_0", "q4_k"):
+    w = rng.normal(size=(512, 512)).astype(np.float32) * 0.05
+    x = rng.normal(size=(1, 512)).astype(np.float32)
+    qt = quantize(w, fmt)
+    y = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                    .astype(jnp.float32))
+    ref = xb @ wd.T
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.02, f"{fmt}: rel {rel}"
+print("bf16-dequant OK")
+"""
+    env = dict(os.environ, MOSHI_TPU_DEQUANT="bf16",
+               PYTHONPATH=os.pathsep.join(sys.path))
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "bf16-dequant OK" in out.stdout
