@@ -370,9 +370,9 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
     if can_use_stacked_decode(cfg, params, x, cross_kv):
         from moshi_tpu.parallel.pp import current_pp
         pp = current_pp()
-        if pp is not None and pp.num_layers == cfg.num_layers:
-            # pipeline-parallel stages; the layer-count gate keeps the
-            # depformer / mimi stacks in the same jit replicated
+        if pp is not None and pp.matches(cfg):
+            # pipeline-parallel stages; the config-identity gate keeps
+            # the depformer / mimi stacks in the same jit replicated
             from moshi_tpu.parallel.pp import pp_transformer_decode
             return pp_transformer_decode(cfg, params, state, x, offset, pp)
         from moshi_tpu.parallel.tp import current_tp
@@ -383,17 +383,22 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
         return _forward_stacked_decode(cfg, params, state, x, offset,
                                        tap=tap)
     else:
+        from moshi_tpu.parallel.pp import current_pp
         from moshi_tpu.parallel.tp import current_tp
         from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
-        if (current_tp() is not None and pallas_enabled() and isinstance(
+        if ((current_tp() is not None
+             or (current_pp() is not None and current_pp().matches(cfg)))
+                and pallas_enabled() and isinstance(
                 params["layers"]["self_attn"]["in_proj"].get("weight"),
                 QuantTensor)):
-            # under tp_scope a quantized stack MUST take the shard_map
-            # path: the GSPMD fallback would replicate (or break on) the
-            # pallas custom calls
+            # under tp_scope/pp_scope a quantized stack MUST take the
+            # shard_map path: GSPMD cannot partition the pallas custom
+            # calls either, so the fallback would replicate (or break),
+            # silently all-gathering tp/pp-sharded layer weights
             raise ValueError(
-                "tp_scope is active but this quantized transformer does "
-                "not satisfy the stacked-decode preconditions "
+                "tp_scope/pp_scope is active but this quantized "
+                "transformer does not satisfy the stacked-decode "
+                "preconditions "
                 f"(T={x.shape[1]}, cross={cross_kv is not None})")
     layers = params["layers"]
     kv = {"k": state["k"], "v": state["v"]}

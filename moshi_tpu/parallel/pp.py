@@ -28,14 +28,14 @@ split into the S microbatches.
 
 Scope: decode (T=1) on the quantized stacked-kernel path — the same
 surface explicit TP covers (parallel/tp.py).  Dispatch is gated on the
-stack's layer count (PPContext.num_layers) so the depformer / mimi
-transformers inside the same jit stay replicated.
+stack's full TransformerConfig (PPContext.matches) so the depformer /
+mimi transformers inside the same jit stay replicated.
 
 Usage:
     mesh = make_pp_mesh(pp=4)                  # or (data=2, pp=2)
     params = pp_shard_lm_params(params, cfg, mesh)
     state = pp_shard_lm_state(state, mesh)
-    with pp_scope(mesh, cfg.transformer.num_layers):
+    with pp_scope(mesh, cfg.transformer):
         out, state = jax.jit(step)(params, state, ...)
 """
 
@@ -62,10 +62,22 @@ class PPContext:
     num_layers: int               # stack size this scope applies to
     pp_axis: str = "pp"
     data_axis: str = "data"
+    # Full TransformerConfig identifying the pipelined stack.  Dispatch
+    # on the bare layer count is a footgun: another transformer traced
+    # inside the same pp_scope jit with a coincidentally equal depth
+    # (e.g. a mimi stack configured to the temporal depth) would be
+    # routed into pp_transformer_decode with replicated params.
+    stack_cfg: object = None
 
     @property
     def nstages(self) -> int:
         return self.mesh.shape[self.pp_axis]
+
+    def matches(self, cfg) -> bool:
+        """Is `cfg` the transformer stack this scope pipelines?"""
+        if self.stack_cfg is not None:
+            return cfg == self.stack_cfg
+        return cfg.num_layers == self.num_layers
 
 
 _PP_CTX: contextvars.ContextVar = contextvars.ContextVar("moshi_tpu_pp",
@@ -77,11 +89,21 @@ def current_pp() -> Optional[PPContext]:
 
 
 @contextlib.contextmanager
-def pp_scope(mesh: Mesh, num_layers: int, pp_axis: str = "pp",
+def pp_scope(mesh: Mesh, stack, pp_axis: str = "pp",
              data_axis: str = "data"):
-    """Enable pipeline-parallel dispatch for the stack with `num_layers`
-    layers traced within this scope."""
-    tok = _PP_CTX.set(PPContext(mesh, num_layers, pp_axis, data_axis))
+    """Enable pipeline-parallel dispatch for one transformer stack.
+
+    `stack` should be the stack's TransformerConfig (dispatch then
+    requires full config equality).  A bare int `num_layers` is
+    accepted for backward compatibility, with the documented constraint
+    that no OTHER transformer of the same depth may be traced inside
+    this scope's jit."""
+    if isinstance(stack, int):
+        ctx = PPContext(mesh, stack, pp_axis, data_axis)
+    else:
+        ctx = PPContext(mesh, stack.num_layers, pp_axis, data_axis,
+                        stack_cfg=stack)
+    tok = _PP_CTX.set(ctx)
     try:
         yield
     finally:
@@ -175,11 +197,17 @@ def pp_state_pspecs(state, pp_axis: str = "pp", data_axis: str = "data"):
                     for k, v in node.items()}
         nd = getattr(node, "ndim", 0)
         if path.endswith(".k") or path.endswith(".v") or path in ("k", "v"):
+            if nd != 5:
+                raise ValueError(
+                    f"pp_state_pspecs: KV leaf '{path}' has ndim={nd}; PP "
+                    "requires the stacked KV layout [L, B, cap, H, hd] "
+                    "(flat megakernel state is not pipelinable — build the "
+                    "state with MOSHI_TPU_MEGAKERNEL unset)")
             return P(pp_axis, data_axis, None, None, None)
         if "cache" in path:
-            return P(data_axis, None, None)
+            return P(*((data_axis,) + (None,) * (nd - 1)))
         if "offset" in path:
-            return P(data_axis)
+            return P(*((data_axis,) + (None,) * max(nd - 1, 0)))
         return P(*((None,) * nd))
     return walk(state, "")
 

@@ -49,8 +49,14 @@ from moshi_tpu.quant.formats import QK, QuantTensor
 # llo_region_builder.cc:2088; interpret mode and TPU cross-lowering
 # both pass — the failure only appears on the real chip), so the
 # DEFAULT is f32 and MOSHI_TPU_DEQUANT=bf16 opts in on hardware whose
-# VPU supports bf16 (read ONCE at import).
-_DEQ_BF16 = os.environ.get("MOSHI_TPU_DEQUANT", "f32") != "f32"
+# VPU supports bf16 (read ONCE at import).  Only the literal "bf16"
+# enables the opt-in; anything else ("0", "off", "float32", ...) must
+# NOT silently flip into the path that wedges this v5e's compiles.
+_DEQ_ENV = os.environ.get("MOSHI_TPU_DEQUANT", "f32")
+if _DEQ_ENV not in ("f32", "bf16"):
+    raise ValueError(
+        f"MOSHI_TPU_DEQUANT must be 'f32' or 'bf16', got {_DEQ_ENV!r}")
+_DEQ_BF16 = _DEQ_ENV == "bf16"
 
 
 def _unpack_nibbles(pi_u8):

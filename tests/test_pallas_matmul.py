@@ -150,3 +150,22 @@ print("bf16-dequant OK")
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "bf16-dequant OK" in out.stdout
+
+
+def test_dequant_env_rejects_unknown_values():
+    """Only the literal 'bf16' may enable the bf16 ALU path; any other
+    value ('0', 'off', 'float32') must raise at import rather than
+    silently flipping into the path that wedges this v5e's compiles
+    (ADVICE r2)."""
+    import subprocess
+    import sys
+    import os
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');\n"
+            "import moshi_tpu.quant.pallas_matmul\n")
+    for bad in ("0", "off", "float32"):
+        env = dict(os.environ, MOSHI_TPU_DEQUANT=bad,
+                   PYTHONPATH=os.pathsep.join(sys.path))
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode != 0, f"{bad!r} accepted"
+        assert "MOSHI_TPU_DEQUANT" in out.stderr, out.stderr[-500:]

@@ -54,7 +54,7 @@ def test_pp_step_matches_single_device(data, pp, batch):
         pp_params = pp_shard_lm_params(params, _cfg, mesh)
         state = pp_shard_lm_state(
             init_gen_state(_cfg, batch, jax.random.PRNGKey(5)), mesh)
-        with pp_scope(mesh, _cfg.transformer.num_layers):
+        with pp_scope(mesh, _cfg.transformer):
             got = _run_frames(_cfg, pp_params, state, 3, batch)
     finally:
         enable_pallas(False)
@@ -74,9 +74,62 @@ def test_pp_step_lowers_for_tpu():
         pp_params = pp_shard_lm_params(params, _cfg, mesh)
         state = pp_shard_lm_state(
             init_gen_state(_cfg, 8, jax.random.PRNGKey(5)), mesh)
-        with pp_scope(mesh, _cfg.transformer.num_layers):
+        with pp_scope(mesh, _cfg.transformer):
             f = jax.jit(lambda p, s: lm_gen_step(_cfg, p, s, temp=0.0,
                                                  temp_text=0.0))
             f.trace(pp_params, state).lower(lowering_platforms=("tpu",))
+    finally:
+        enable_pallas(False)
+
+
+def test_pp_matches_rejects_same_depth_other_stack():
+    """Dispatch is gated on full config identity: a different stack with
+    a coincidentally equal layer count must NOT be pp-routed
+    (ADVICE r2: bare layer-count gate was a footgun)."""
+    import dataclasses
+    from moshi_tpu.parallel.pp import PPContext
+    mesh = make_pp_mesh(pp=2)
+    with pp_scope(mesh, _cfg.transformer):
+        from moshi_tpu.parallel.pp import current_pp
+        pp = current_pp()
+        assert pp.matches(_cfg.transformer)
+        other = dataclasses.replace(_cfg.transformer, dim=128)
+        assert other.num_layers == _cfg.transformer.num_layers
+        assert not pp.matches(other)
+    # legacy int form keeps the (documented) depth-only behavior
+    with pp_scope(mesh, _cfg.transformer.num_layers):
+        from moshi_tpu.parallel.pp import current_pp
+        assert current_pp().matches(_cfg.transformer)
+
+
+def test_pp_state_pspecs_rejects_flat_kv():
+    """A flat megakernel KV layout (k/v ndim 3) must fail loudly with a
+    message naming the stacked-layout requirement, not an opaque
+    device_put error (ADVICE r2)."""
+    from moshi_tpu.parallel.pp import pp_state_pspecs
+    flat = {"k": jnp.zeros((4, 8, 16)), "v": jnp.zeros((4, 8, 16))}
+    with pytest.raises(ValueError, match="stacked KV layout"):
+        pp_state_pspecs(flat)
+
+
+def test_pp_guard_covers_prefill_fallback():
+    """Under pp_scope, a quantized stack that fails the stacked-decode
+    preconditions (prefill T>1) raises instead of silently taking the
+    GSPMD scan path with pp-sharded pallas weights (ADVICE r2 medium)."""
+    from moshi_tpu.nn.transformer import (transformer_forward,
+                                          init_transformer_state)
+    from moshi_tpu.runtime.synth import synth_lm_params
+    params = synth_lm_params(jax.random.PRNGKey(0), _cfg, fmt="q4_k")
+    enable_pallas(True)
+    try:
+        mesh = make_pp_mesh(pp=2)
+        tcfg = _cfg.transformer
+        state = init_transformer_state(tcfg, batch=2)
+        x = jnp.zeros((2, 3, tcfg.dim), jnp.bfloat16)   # T=3 prefill
+        off = jnp.zeros((2,), jnp.int32)
+        with pp_scope(mesh, tcfg):
+            with pytest.raises(ValueError, match="stacked-decode"):
+                transformer_forward(tcfg, params["transformer"], state,
+                                    x, off)
     finally:
         enable_pallas(False)
