@@ -76,7 +76,7 @@ class QuantTensor:
         if self.fmt != "q4_k" or self.es is not None:
             return self
         lead = self.q.shape[:-2] + (self.q.shape[-2],)
-        i = self.q.shape[-1] * 2
+        i = self.d.shape[-1] * QK_K   # storage-agnostic (packed u8 or i8)
         es = (self.d.astype(jnp.float32)[..., None]
               * self.sc.astype(jnp.float32)).reshape(lead + (i // QK,))
         em = (self.dmin.astype(jnp.float32)[..., None]
@@ -84,6 +84,30 @@ class QuantTensor:
         return QuantTensor(self.fmt, self.shape, self.q, self.d, self.sc,
                            self.mn, self.dmin, es.astype(jnp.bfloat16),
                            em.astype(jnp.bfloat16))
+
+    @property
+    def unpacked(self) -> bool:
+        """True when 4-bit values are stored as natural-order int8
+        ([..., O, I], q4_0 signed / q4_k 0..15) instead of planar-packed
+        uint8 nibbles.  2x the HBM bytes; zero weight-side unpack work in
+        the int8-MXU kernels.  q8_0 is always natural int8."""
+        return self.fmt == "q8_0" or self.q.dtype == jnp.int8
+
+    def with_i8_storage(self) -> "QuantTensor":
+        """Return a copy with 4-bit values unpacked to natural-order int8
+        (see `unpacked`).  Only the int8-MXU kernels and the XLA
+        dequantize path consume this storage — the f32-dequant pallas
+        kernels reject it loudly.  No-op for q8_0 / already-unpacked."""
+        if self.unpacked:
+            return self
+        q = self.q
+        lo = (q & jnp.uint8(15)).astype(jnp.int8)
+        hi = (q >> jnp.uint8(4)).astype(jnp.int8)
+        full = jnp.concatenate([lo, hi], axis=-1)
+        if self.fmt == "q4_0":
+            full = full - jnp.int8(8)   # fold the zero point at rest
+        return QuantTensor(self.fmt, self.shape, full, self.d, self.sc,
+                           self.mn, self.dmin, self.es, self.em)
 
     @property
     def dtype(self):  # convenience for param-tree introspection
@@ -221,16 +245,22 @@ def _unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
 
 def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Shape-agnostic: works on the base [O, I] layout and on stacked
-    leaves with extra leading axes (e.g. [L, O, I/2] from lax.scan stacks)."""
+    leaves with extra leading axes (e.g. [L, O, I/2] from lax.scan stacks).
+    Handles both packed-nibble and unpacked-i8 storage (`with_i8_storage`;
+    q4_0 i8 storage already carries the -8 zero point)."""
     if qt.fmt == "q8_0":
         d = jnp.repeat(qt.d.astype(jnp.float32), QK, axis=-1)
         w = qt.q.astype(jnp.float32) * d
     elif qt.fmt == "q4_0":
-        q = _unpack_nibbles(qt.q).astype(jnp.float32) - 8.0
+        if qt.unpacked:
+            q = qt.q.astype(jnp.float32)
+        else:
+            q = _unpack_nibbles(qt.q).astype(jnp.float32) - 8.0
         d = jnp.repeat(qt.d.astype(jnp.float32), QK, axis=-1)
         w = q * d
     elif qt.fmt == "q4_k":
-        q = _unpack_nibbles(qt.q).astype(jnp.float32)
+        q = (qt.q if qt.unpacked else _unpack_nibbles(qt.q)) \
+            .astype(jnp.float32)
         i = q.shape[-1]
         lead = q.shape[:-2] + (q.shape[-2],)
         eff_s = qt.d.astype(jnp.float32)[..., None] * qt.sc.astype(jnp.float32)

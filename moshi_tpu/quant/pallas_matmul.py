@@ -58,6 +58,48 @@ if _DEQ_ENV not in ("f32", "bf16"):
         f"MOSHI_TPU_DEQUANT must be 'f32' or 'bf16', got {_DEQ_ENV!r}")
 _DEQ_BF16 = _DEQ_ENV == "bf16"
 
+# Integer-MXU dispatch (pallas_matmul_int8.py): contract raw int8 on the
+# MXU and scale per-block in a tiny epilogue instead of dequantizing every
+# weight on the VPU — the f32-dequant kernels are VPU-bound at ~0.12 TB/s
+# on the 7B decode (BENCH_NOTES round-3 probe).  Applies to single-row
+# (m == 1) decode matvecs of q4_k/q4_0/q8_0; everything else keeps the
+# f32-dequant kernels.  MOSHI_TPU_INT8=0/1 sets the process default;
+# set_int8() flips it programmatically BEFORE the first traced call.
+_INT8_ENV = os.environ.get("MOSHI_TPU_INT8", "1")
+if _INT8_ENV not in ("0", "1"):
+    raise ValueError(f"MOSHI_TPU_INT8 must be '0' or '1', got {_INT8_ENV!r}")
+_INT8 = _INT8_ENV == "1"
+
+
+def set_int8(flag: bool):
+    """Enable/disable the int8-MXU decode kernels (trace-time knob: has
+    no effect on already-compiled shapes)."""
+    global _INT8
+    _INT8 = bool(flag)
+
+
+def int8_enabled() -> bool:
+    return _INT8
+
+
+def _int8_dispatch(qt: QuantTensor, m: int) -> bool:
+    if not _INT8:
+        return False
+    from moshi_tpu.quant.pallas_matmul_int8 import int8_shape_ok
+    return int8_shape_ok(qt, m)
+
+
+def _check_packed(qt: QuantTensor):
+    """The f32-dequant kernels only consume planar-packed nibbles; i8
+    storage (`with_i8_storage`) is int8-MXU-kernel-only — fail loudly
+    instead of misreading the buffer."""
+    if qt.fmt in ("q4_0", "q4_k") and qt.q.dtype != jnp.uint8:
+        raise ValueError(
+            f"{qt.fmt} QuantTensor has unpacked i8 storage, which only the "
+            "int8-MXU kernels consume (m == 1 decode). This call fell "
+            "through to the f32-dequant kernels — keep packed storage for "
+            "weights that see batched/prefill matmuls.")
+
 
 def _unpack_nibbles(pi_u8):
     """Packed uint8 -> (lo, hi) nibble values.
@@ -245,6 +287,10 @@ def qmatmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
     k = orig_shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
+    if _int8_dispatch(qt, m):
+        from moshi_tpu.quant.pallas_matmul_int8 import qmatmul_i8
+        return qmatmul_i8(x, qt, alpha=alpha, interpret=interpret)
+    _check_packed(qt)
     o = qt.q.shape[0]
     tile = _pick_tile(o)
     grid = (o // tile,)
@@ -425,10 +471,14 @@ def glu_matmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     o2 = qt.q.shape[0]
+    if o2 % 2 == 0 and _int8_dispatch(qt, m):
+        from moshi_tpu.quant.pallas_matmul_int8 import glu_matmul_i8
+        return glu_matmul_i8(x, qt, alpha=alpha, interpret=interpret)
     h = o2 // 2
     tile = _pick_tile(h)
     if h % tile or qt.fmt not in ("q8_0", "q4_k"):
         return None  # caller falls back
+    _check_packed(qt)
     nblocks = h // tile
     grid = (nblocks,)
     x_spec = pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -554,6 +604,11 @@ def qmatmul_pallas_stacked(x: jnp.ndarray, qt: QuantTensor, layer,
     k = orig_shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
+    if _int8_dispatch(qt, m):
+        from moshi_tpu.quant.pallas_matmul_int8 import qmatmul_i8
+        return qmatmul_i8(x, qt, layer=layer, alpha=alpha,
+                          interpret=interpret)
+    _check_packed(qt)
     o = qt.q.shape[-2]
     nl = qt.q.size // (o * qt.q.shape[-1])
     tile = _pick_tile(o)
@@ -651,11 +706,16 @@ def glu_matmul_pallas_stacked(x: jnp.ndarray, qt: QuantTensor, layer,
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     o2 = qt.q.shape[-2]
+    if o2 % 2 == 0 and _int8_dispatch(qt, m):
+        from moshi_tpu.quant.pallas_matmul_int8 import glu_matmul_i8
+        return glu_matmul_i8(x, qt, layer=layer, alpha=alpha,
+                             interpret=interpret)
     nl = qt.q.size // (o2 * qt.q.shape[-1])
     h = o2 // 2
     tile = _pick_tile(h)
     if h % tile or qt.fmt not in ("q8_0", "q4_k"):
         return None
+    _check_packed(qt)
     nblocks = h // tile
     lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
     x_spec = pl.BlockSpec((m, k), lambda i, s: (0, 0),

@@ -1,0 +1,333 @@
+"""Integer-MXU fused quantized matvec kernels (decode path).
+
+The f32-dequant kernels in pallas_matmul.py are VPU-bound: ~10 f32
+lane-passes per weight (unpack converts, scale expansion, multiplies,
+bf16 casts) cap the 7B temporal stack at ~0.12 TB/s — 12x below this
+chip's HBM rate (BENCH_NOTES round-3 probe).  This module removes the
+weight-side VPU work entirely, the same numeric move GGML's CUDA backend
+makes (vec_dot_q4_K_q8_1: quantize the *activation* to int8 per 32-block
+and contract raw integers) — reference usage: /root/reference/src/
+loader.h:149-189's q-formats are consumed by exactly such kernels:
+
+  * the activation row is rms-normed (optional fused alpha), split into
+    K/32 blocks, and quantized to int8 per-block IN-KERNEL (VMEM scratch,
+    computed once at grid step 0);
+  * the quantized row is spread block-diagonally: xq_sp[b, k] = xq[k] if
+    k//32 == b else 0, so ONE int8 MXU contraction per weight tile
+    yields all per-block partial dots P[o, b] = sum_{k in b} w[o,k]xq[k];
+  * the scale epilogue is 3 VPU passes over [TO, K/32] (1/32nd of the
+    weight tile):  y[o] = sum_b es[o,b]*dx[b]*P[o,b] - em[o,b]*xs[b]
+    (q4_k; q8_0/q4_0 drop the min term — q4_0 unpacks to SIGNED i8 so
+    the -8 zero-point vanishes at storage time);
+  * output is written as an [O, 1] column (block (TO, 1): lane dim ==
+    array dim, which Mosaic allows), so scales stay in natural [O, NB]
+    layout and nothing is ever transposed.
+
+Weights may be stored PACKED (planar u8, unpacked to i8 in-kernel — a
+~6-int-pass chain) or UNPACKED (natural-order i8 [O, K], zero weight-side
+VPU work, 2x HBM bytes of packed 4-bit).  `QuantTensor.with_i8_storage`
+(formats.py) converts; kernels dispatch on q.dtype.
+
+Numerics: per-32-block int8 activation quantization adds ~0.5% relative
+error per matvec — the same class as the reference GPU path (GGML
+quantizes activations to q8_1 for every K-quant mat-vec) and well under
+the 3-5% weight-quantization noise.  MOSHI_TPU_INT8=0 restores the
+f32-dequant kernels.
+
+Constraints (callers fall back when unmet): one activation row (m == 1),
+K % 32 == 0, (K/32) % 8 == 0, O % tile == 0 via _pick_tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from moshi_tpu.utils.pallas_mode import with_interpret_default
+from moshi_tpu.quant.formats import QK, QuantTensor
+from moshi_tpu.quant.pallas_matmul import _flat2, _pick_tile
+
+_PREP_CHUNK = 2048   # activation-spread prep chunk (bounds f32 temps)
+_UNPACK_CHUNK = 512  # packed-weight unpack chunk
+
+
+def int8_shape_ok(qt: QuantTensor, m: int) -> bool:
+    """Static eligibility of the int8-MXU kernels for this weight and
+    activation row count."""
+    if qt.fmt not in ("q4_k", "q4_0", "q8_0"):
+        return False
+    if m != 1:
+        return False
+    k = qt.shape[-1]
+    if k % QK:
+        return False
+    nb = k // QK
+    if nb % 8:
+        return False
+    # the block-diagonal activation spread lives in VMEM as [nb, k] i8 =
+    # k^2/32 bytes; cap it well under the 100 MB limit (real shapes are
+    # k in {1024, 4096} -> 32 KB / 512 KB)
+    if nb * k > 4 * 1024 * 1024:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _prep_int8_activation(x_ref, alpha_val, xq_s, xs_s, dx_s, *, k, nb):
+    """Norm (optional) + per-32-block int8 quantization of the activation
+    row into VMEM scratch.  Runs once, at grid step 0.
+
+    Produces: xq_s [nb, k] i8 block-diagonal spread; dx_s [1, nb] f32
+    per-block scales; xs_s [1, nb] f32 block sums of the QUANTIZED row
+    (dx_b * sum(xq_b) — GGML's q8_1 `s` field).  The min/zero-point
+    epilogue terms must consume the same x_quant the MXU term does, so
+    the whole kernel computes exactly x_quant @ W_deq.T and the
+    activation-quant error couples only to the CENTERED weights; exact
+    sums would couple it to the unsigned es*q part (~2x larger values)
+    and measurably amplify the noise.  The [nb, 1] -> [1, nb] turns are
+    MXU identity contractions (Mosaic has no cheap sublane<->lane
+    transpose)."""
+    x = x_ref[:].astype(jnp.float32)
+    if alpha_val is not None:
+        ms = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(ms + 1e-8) * alpha_val.astype(jnp.float32)
+    # pass 1 (chunked): per-block max -> scales
+    m_parts = []
+    for c0 in range(0, k, _PREP_CHUNK):
+        cs = min(_PREP_CHUNK, k - c0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 1) + c0
+        mask = (cols // QK) == rows
+        xc = jnp.where(mask, x[:, c0:c0 + cs], 0.0)
+        m_parts.append(jnp.max(jnp.abs(xc), axis=1, keepdims=True))
+    m = functools.reduce(jnp.maximum, m_parts)
+    dx = jnp.where(m > 0, m / 127.0, 1.0)                  # [nb, 1]
+    # pass 2 (chunked): quantize the spread into i8 scratch; accumulate
+    # the quantized block sums
+    qs_parts = []
+    for c0 in range(0, k, _PREP_CHUNK):
+        cs = min(_PREP_CHUNK, k - c0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 1) + c0
+        mask = (cols // QK) == rows
+        xc = jnp.where(mask, x[:, c0:c0 + cs], 0.0)
+        xqf = jnp.round(xc / dx)
+        qs_parts.append(jnp.sum(xqf, axis=1, keepdims=True))
+        xq_s[:, c0:c0 + cs] = xqf.astype(jnp.int8)
+    xs_col = functools.reduce(jnp.add, qs_parts) * dx      # [nb, 1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    ident = (ri == ci).astype(jnp.float32)
+    xs_s[:] = jax.lax.dot_general(
+        xs_col, ident, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_s[:] = jax.lax.dot_general(
+        dx, ident, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _int8_partial_dots(w_ref, xq_s, *, k, packed):
+    """P[o, b] = sum_{k in b} w[o, k] * xq[k] on the MXU (i32 acc).
+    `packed`: w_ref holds planar u8 nibbles [TO, K/2] (unpacked to i8 in
+    chunks); else natural-order i8 [TO, K]."""
+    if not packed:
+        return jax.lax.dot_general(
+            w_ref[:], xq_s[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    k2 = k // 2
+    to = w_ref.shape[0]
+    nb = xq_s.shape[0]
+    acc = jnp.zeros((to, nb), jnp.int32)
+    for c0 in range(0, k2, _UNPACK_CHUNK):
+        cs = min(_UNPACK_CHUNK, k2 - c0)
+        pk = w_ref[:, c0:c0 + cs].astype(jnp.int32)
+        lo = (pk & 15).astype(jnp.int8)
+        hi = ((pk >> 4) & 15).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            lo, xq_s[:, c0:c0 + cs], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc += jax.lax.dot_general(
+            hi, xq_s[:, k2 + c0:k2 + c0 + cs], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    return acc
+
+
+def _epilogue_q4k(p, es_ref, em_ref, dx_s, xs_s):
+    pf = p.astype(jnp.float32) * dx_s[:]
+    y = (es_ref[:].astype(jnp.float32) * pf
+         - em_ref[:].astype(jnp.float32) * xs_s[:])
+    return jnp.sum(y, axis=1, keepdims=True)
+
+
+def _epilogue_scale_only(p, d_ref, dx_s):
+    pf = p.astype(jnp.float32) * dx_s[:]
+    return jnp.sum(d_ref[:].astype(jnp.float32) * pf, axis=1,
+                   keepdims=True)
+
+
+def _epilogue_q4_0_packed(p, d_ref, dx_s, xs_s):
+    """Packed q4_0 keeps UNSIGNED nibbles (value = d*(q - 8)); fold the
+    -8 zero point through the exact f32 block sums:
+    y[o] = sum_b d[o,b] * (dx[b]*P[o,b] - 8*xs[b])."""
+    pf = p.astype(jnp.float32) * dx_s[:] - 8.0 * xs_s[:]
+    return jnp.sum(d_ref[:].astype(jnp.float32) * pf, axis=1,
+                   keepdims=True)
+
+
+def _mk_kernel(fmt: str, k: int, nb: int, packed: bool, fuse_norm: bool,
+               glu: bool):
+    """Build the kernel body.  Ref order after the scalar-prefetch layer
+    index: x, [alpha], weight components (q, scales...) — twice for
+    glu —, out, then scratch (xq, xs, dx)."""
+    two_scale = fmt == "q4_k"
+    zp8 = fmt == "q4_0" and packed   # unsigned nibbles, -8 zero point
+    nw = 3 if two_scale else 2
+    ngroups = 2 if glu else 1
+
+    def kernel(l_ref, *refs):
+        idx = 0
+        x_ref = refs[idx]
+        idx += 1
+        alpha_val = None
+        if fuse_norm:
+            alpha_val = refs[idx][0]          # [1, K] value
+            idx += 1
+        groups = []
+        for _ in range(ngroups):
+            groups.append(refs[idx:idx + nw])
+            idx += nw
+        o_ref = refs[idx]
+        xq_s, xs_s, dx_s = refs[idx + 1:idx + 4]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            _prep_int8_activation(x_ref, alpha_val, xq_s, xs_s, dx_s,
+                                  k=k, nb=nb)
+
+        ys = []
+        for g in groups:
+            p = _int8_partial_dots(g[0], xq_s, k=k, packed=packed)
+            if two_scale:
+                ys.append(_epilogue_q4k(p, g[1], g[2], dx_s, xs_s))
+            elif zp8:
+                ys.append(_epilogue_q4_0_packed(p, g[1], dx_s, xs_s))
+            else:
+                ys.append(_epilogue_scale_only(p, g[1], dx_s))
+        if glu:
+            gate, val = ys
+            o_ref[:] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * val
+        else:
+            o_ref[:] = ys[0]
+
+    return kernel
+
+
+@with_interpret_default
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qmatmul_i8(x: jnp.ndarray, qt: QuantTensor, layer=None, alpha=None,
+               interpret: bool = False):
+    """y = (rms_norm(x)*alpha if alpha else x) @ W[layer].T on the
+    integer MXU.  x: [..., K] with exactly one row -> [..., O] f32.
+    `layer` indexes stacked leaves ([L, O, ...]); None/0 for flat
+    weights.  Caller must pre-check `int8_shape_ok`."""
+    return _qmatmul_i8_impl(x, qt, layer, alpha, interpret, glu=False)
+
+
+@with_interpret_default
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def glu_matmul_i8(x: jnp.ndarray, qt: QuantTensor, layer=None, alpha=None,
+                  interpret: bool = False):
+    """Fused GLU on the integer MXU: y = silu(x @ Wg[layer].T) *
+    (x @ Wv[layer].T) for a fused linear_in [.., 2H, K] (gate rows
+    [0, H), value rows [H, 2H)).  Returns [..., H] f32."""
+    return _qmatmul_i8_impl(x, qt, layer, alpha, interpret, glu=True)
+
+
+def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    assert m == 1, "int8 kernels are single-row (checked by int8_shape_ok)"
+    nb = k // QK
+    o_full = qt.q.shape[-2]
+    o = o_full // 2 if glu else o_full
+    packed = qt.q.dtype == jnp.uint8
+    nl = qt.q.size // (o_full * qt.q.shape[-1])
+    tile = _pick_tile(o)
+    nblocks = o // tile
+    lidx = jnp.reshape(jnp.int32(0) if layer is None else layer,
+                       (1,)).astype(jnp.int32)
+    fuse = alpha is not None
+
+    x_spec = pl.BlockSpec((1, k), lambda i, s: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, 1), lambda i, s: (i, 0),
+                            memory_space=pltpu.VMEM)
+    norm_inputs = ()
+    norm_specs = []
+    if fuse:
+        norm_inputs = (alpha.reshape(nl, 1, k).astype(jnp.float32),)
+        norm_specs = [pl.BlockSpec((1, 1, k), lambda i, s: (s[0], 0, 0),
+                                   memory_space=pltpu.VMEM)]
+
+    # flat row-block index: layer l's tile i lives at l*<blocks/layer> + i
+    per_layer = 2 * nblocks if glu else nblocks
+
+    def wspec(cols, off):
+        return pl.BlockSpec(
+            (tile, cols),
+            lambda i, s, off=off: (s[0] * per_layer + off + i, 0),
+            memory_space=pltpu.VMEM)
+
+    qcols = qt.q.shape[-1]        # K (unpacked/q8_0) or K/2 (packed)
+    if qt.fmt == "q4_k":
+        qt = qt.with_eff_scales()
+        comps = (_flat2(qt.q), _flat2(qt.es), _flat2(qt.em))
+        spec_cols = (qcols, nb, nb)
+    else:
+        comps = (_flat2(qt.q), _flat2(qt.d))
+        spec_cols = (qcols, nb)
+
+    w_inputs = []
+    w_specs = []
+    offs = (0, nblocks) if glu else (0,)
+    for off in offs:
+        for comp, cols in zip(comps, spec_cols):
+            w_inputs.append(comp)
+            w_specs.append(wspec(cols, off))
+
+    kernel = _mk_kernel(qt.fmt, k, nb, packed, fuse, glu)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[x_spec] + norm_specs + w_specs,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((nb, k), jnp.int8),
+            pltpu.VMEM((1, nb), jnp.float32),
+            pltpu.VMEM((1, nb), jnp.float32),
+        ],
+    )
+    cost = pl.CostEstimate(
+        flops=2 * nb * k * o * (2 if glu else 1),
+        bytes_accessed=qt.nbytes // nl + k * 4 + o * 4,
+        transcendentals=o if glu else 0)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((o, 1), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lidx, x2, *norm_inputs, *w_inputs)
+    return y.reshape(orig_shape[:-1] + (o,))

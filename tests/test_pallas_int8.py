@@ -1,0 +1,177 @@
+"""Integer-MXU decode kernels (quant/pallas_matmul_int8.py) vs oracles.
+
+The int8 kernels quantize the ACTIVATION to int8 per 32-block in-kernel
+and contract raw integers on the MXU (GGML's vec_dot_q4_K_q8_1 numeric
+class — the reference GPU path quantizes activations to q8_1 for every
+K-quant matvec).  Interpret mode on CPU for numerics; TPU cross-lowering
+for the Mosaic block rules interpret mode skips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moshi_tpu.quant import pallas_matmul as pm
+from moshi_tpu.quant.formats import QK, dequantize, quantize
+from moshi_tpu.quant.pallas_matmul_int8 import (glu_matmul_i8,
+                                                int8_shape_ok, qmatmul_i8)
+
+K, O = 512, 512
+NB = K // QK
+
+
+def _sim_act_quant(x):
+    """Per-32-block int8 activation quantization (numpy oracle)."""
+    xb = x.reshape(-1, NB, QK)
+    m = np.abs(xb).max(-1, keepdims=True)
+    dx = np.where(m > 0, m / 127.0, 1.0)
+    xq = np.round(xb / dx)
+    return (xq * dx).reshape(x.shape)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("storage", ["packed", "unpacked"])
+def test_int8_matches_dequant_oracle(rng, fmt, storage):
+    w = rng.normal(size=(O, K)).astype(np.float32)
+    x = rng.normal(size=(1, K)).astype(np.float32)
+    qt = quantize(w, fmt)
+    if storage == "unpacked":
+        qt = qt.with_i8_storage()
+    assert int8_shape_ok(qt, 1)
+    y = np.asarray(qmatmul_i8(jnp.asarray(x), qt, interpret=True))
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    ref = _sim_act_quant(x) @ wd.T
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+    # the only kernel-vs-oracle residual is f32 epilogue rounding; the
+    # activation-quant noise itself is IN the oracle
+    assert rel < 5e-3, f"{fmt}/{storage}: rel {rel}"
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q4_k"])
+def test_int8_packed_unpacked_agree(rng, fmt):
+    """Packed u8 (in-kernel nibble unpack + zero-point epilogue) and
+    unpacked i8 (zero point folded at rest) are the same computation."""
+    w = rng.normal(size=(O, K)).astype(np.float32)
+    x = rng.normal(size=(1, K)).astype(np.float32)
+    qt = quantize(w, fmt)
+    yp = np.asarray(qmatmul_i8(jnp.asarray(x), qt, interpret=True))
+    yu = np.asarray(qmatmul_i8(jnp.asarray(x), qt.with_i8_storage(),
+                               interpret=True))
+    np.testing.assert_allclose(yp, yu, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k"])
+@pytest.mark.parametrize("with_norm", [False, True])
+def test_int8_glu_matches(rng, fmt, with_norm):
+    h = 512
+    w = rng.normal(size=(2 * h, K)).astype(np.float32)
+    x = rng.normal(size=(1, K)).astype(np.float32)
+    alpha = rng.normal(size=(K,)).astype(np.float32) if with_norm else None
+    qt = quantize(w, fmt)
+    y = np.asarray(glu_matmul_i8(
+        jnp.asarray(x), qt,
+        alpha=None if alpha is None else jnp.asarray(alpha),
+        interpret=True))
+    xf = x.astype(np.float32)
+    if alpha is not None:
+        ms = (xf ** 2).mean(-1, keepdims=True)
+        xf = xf / np.sqrt(ms + 1e-8) * alpha
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    full = _sim_act_quant(xf) @ wd.T
+    g, v = full[:, :h], full[:, h:]
+    ref = (g / (1 + np.exp(-g))) * v
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.01, f"{fmt} norm={with_norm}: rel {rel}"
+
+
+@pytest.mark.parametrize("storage", ["packed", "unpacked"])
+def test_int8_stacked_layer_indexing(rng, storage):
+    ws = [rng.normal(size=(O, K)).astype(np.float32) for _ in range(3)]
+    qts = [quantize(w, "q4_k") for w in ws]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
+    if storage == "unpacked":
+        stacked = stacked.with_i8_storage()
+        qts = [q.with_i8_storage() for q in qts]
+    x = rng.normal(size=(1, K)).astype(np.float32)
+    for l in range(3):
+        ys = np.asarray(qmatmul_i8(jnp.asarray(x), stacked,
+                                   layer=jnp.int32(l), interpret=True))
+        yf = np.asarray(qmatmul_i8(jnp.asarray(x), qts[l], interpret=True))
+        np.testing.assert_allclose(ys, yf, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_dispatch_routing(rng):
+    """qmatmul_pallas routes eligible m==1 calls into the int8 kernels;
+    set_int8(False) restores the f32-dequant path; m>1 never routes."""
+    w = rng.normal(size=(O, K)).astype(np.float32)
+    x1 = rng.normal(size=(1, K)).astype(np.float32)
+    qt = quantize(w, "q4_k")
+    y_i8 = np.asarray(qmatmul_i8(jnp.asarray(x1), qt, interpret=True))
+    prev = pm.int8_enabled()
+    try:
+        pm.set_int8(True)
+        y_on = np.asarray(pm.qmatmul_pallas(jnp.asarray(x1), qt,
+                                            interpret=True))
+        np.testing.assert_array_equal(y_on, y_i8)
+        pm.set_int8(False)
+        jax.clear_caches()  # the knob is trace-time; drop cached traces
+        y_off = np.asarray(pm.qmatmul_pallas(jnp.asarray(x1), qt,
+                                             interpret=True))
+        assert not np.array_equal(y_off, y_i8)
+        # both are valid evaluations of the same quantized matmul
+        rel = np.abs(y_off - y_i8).max() / (np.abs(y_i8).max() + 1e-6)
+        assert rel < 0.02, rel
+    finally:
+        pm.set_int8(prev)
+
+
+def test_int8_shape_gates(rng):
+    qt = quantize(rng.normal(size=(O, K)).astype(np.float32), "q4_k")
+    assert int8_shape_ok(qt, 1)
+    assert not int8_shape_ok(qt, 4)          # decode only
+    qt2 = quantize(rng.normal(size=(O, 128)).astype(np.float32), "q4_0")
+    assert not int8_shape_ok(qt2, 1)         # nb=4 not a multiple of 8
+
+
+def test_f32_kernels_reject_i8_storage(rng):
+    """Unpacked i8 storage reaching the f32-dequant kernels (m>1 path)
+    must fail loudly instead of misreading the buffer."""
+    qt = quantize(rng.normal(size=(O, K)).astype(np.float32),
+                  "q4_k").with_i8_storage()
+    x4 = jnp.asarray(rng.normal(size=(4, K)).astype(np.float32))
+    with pytest.raises(ValueError, match="unpacked i8 storage"):
+        pm.qmatmul_pallas(x4, qt, interpret=True)
+
+
+def test_dequantize_i8_storage_matches_packed(rng):
+    for fmt in ("q4_0", "q4_k"):
+        qt = quantize(rng.normal(size=(O, K)).astype(np.float32), fmt)
+        a = np.asarray(dequantize(qt, jnp.float32))
+        b = np.asarray(dequantize(qt.with_i8_storage(), jnp.float32))
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("storage", ["packed", "unpacked"])
+def test_int8_tpu_cross_lowering(rng, storage):
+    """Mosaic lowering rules (interpret mode skips them) for the plain,
+    fused-norm, and GLU int8 kernels at the real 7B shapes."""
+    k, o = 4096, 4096
+    qt = quantize(rng.normal(size=(o, k)).astype(np.float32) * 0.02,
+                  "q4_k")
+    if storage == "unpacked":
+        qt = qt.with_i8_storage()
+    x = jnp.zeros((1, k), jnp.float32)
+    alpha = jnp.ones((k,), jnp.float32)
+
+    f = jax.jit(lambda x, q: qmatmul_i8(x, q, interpret=False))
+    f.trace(x, qt).lower(lowering_platforms=("tpu",))
+    g = jax.jit(lambda x, q, a: qmatmul_i8(x, q, alpha=a, interpret=False))
+    g.trace(x, qt, alpha).lower(lowering_platforms=("tpu",))
+
+    qt2 = quantize(rng.normal(size=(2 * o, k)).astype(np.float32) * 0.02,
+                   "q4_k")
+    if storage == "unpacked":
+        qt2 = qt2.with_i8_storage()
+    h = jax.jit(lambda x, q, a: glu_matmul_i8(x, q, alpha=a,
+                                              interpret=False))
+    h.trace(x, qt2, alpha).lower(lowering_platforms=("tpu",))
