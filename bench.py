@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float8_e4m3fn"],
                     help="KV-ring storage dtype (fp8 halves KV memory)")
+    ap.add_argument("--i8-storage", action="store_true",
+                    help="unpack 4-bit weights to natural-order int8 at "
+                         "load (2x HBM bytes, zero weight-side unpack in "
+                         "the int8-MXU decode kernels; B=1 only)")
     ap.add_argument("--pallas", dest="pallas", action="store_true",
                     default=True,
                     help="use the fused Pallas kernels (default)")
@@ -94,6 +98,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = synth_lm_params(key, cfg, fmt=fmt)
+    if args.i8_storage:
+        from moshi_tpu.quant.formats import i8_storage_tree
+        params = i8_storage_tree(params)
     use_mimi = not args.no_mimi
 
     if use_mimi:
@@ -198,6 +205,8 @@ def main():
         "fmt": args.fmt,
         "pallas": args.pallas,
     }
+    if args.i8_storage:
+        result["i8_storage"] = True
     if args.batch > 1:
         result["metric"] += f"_b{args.batch}"
         result["sessions"] = args.batch

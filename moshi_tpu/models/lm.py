@@ -550,6 +550,7 @@ def _can_use_dep_stacked(cfg: LMConfig, step_w, b: int) -> bool:
         return False
     if dcfg.mha.cap < cfg.runtime_dep_q:
         return False
+    from moshi_tpu.quant.pallas_matmul import storage_ok
     mods = [step_w["attn"]["in_proj"], step_w["attn"]["out_proj"],
             step_w["gating"]["linear_in"], step_w["gating"]["linear_out"],
             step_w["in"]]
@@ -557,6 +558,8 @@ def _can_use_dep_stacked(cfg: LMConfig, step_w, b: int) -> bool:
         w = lf.get("weight")
         if not (isinstance(w, QuantTensor) and pallas_layout_ok(w)):
             return False
+        if not storage_ok(w, b):
+            return False  # i8 storage is int8-MXU-only (B=1 decode)
         if lf.get("bias") is not None:
             return False
     # per-codebook output linears may be dense (policy keeps small heads

@@ -205,11 +205,14 @@ def can_use_stacked_decode(cfg: TransformerConfig, params, x,
     c = _chunk_for(cfg.mha.cap)
     if c < 8 and c != cfg.mha.cap:
         return False
+    from moshi_tpu.quant.pallas_matmul import storage_ok
     for lf in (lay["self_attn"]["in_proj"], lay["self_attn"]["out_proj"],
                lay["gating"]["linear_in"], lay["gating"]["linear_out"]):
         w = lf.get("weight")
         if not (isinstance(w, QuantTensor) and pallas_layout_ok(w)):
             return False
+        if not storage_ok(w, x.shape[0]):
+            return False  # i8 storage is int8-MXU-only (B=1 decode)
         if "bias" in lf:
             return False
     return True

@@ -122,6 +122,27 @@ class QuantTensor:
         return total
 
 
+def i8_storage_tree(tree):
+    """Unpack every int8-kernel-eligible 4-bit QuantTensor leaf to
+    natural-order i8 storage (`with_i8_storage`).  2x the HBM bytes of
+    packed 4-bit, zero weight-side unpack work in the int8-MXU decode
+    kernels — an opt-in trade for B=1 decode-dominant serving (batched
+    m>1 matmuls on these leaves fall back to the XLA dequant path)."""
+    from moshi_tpu.quant.pallas_matmul_int8 import int8_shape_ok
+
+    def conv(path, leaf):
+        if not (isinstance(leaf, QuantTensor) and int8_shape_ok(leaf, 1)):
+            return leaf
+        # embedding tables are row-gathered, never matvec'd — unpacking
+        # them would double their HBM bytes for zero kernel benefit
+        if any("emb" in str(getattr(p, "key", "")) for p in path):
+            return leaf
+        return leaf.with_i8_storage()
+
+    return jax.tree_util.tree_map_with_path(
+        conv, tree, is_leaf=lambda v: isinstance(v, QuantTensor))
+
+
 # ---------------------------------------------------------------------------
 # quantize (host side, numpy — used once at weight-load time)
 # ---------------------------------------------------------------------------
@@ -344,8 +365,14 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None,
     `pre_norm_alpha` fuses an rms pre-norm of x (in-kernel on the Pallas
     path; inline on the XLA path) — same math as nn.layers.rms_norm."""
     if isinstance(w, QuantTensor):
-        if _PALLAS_ENABLED and pallas_layout_ok(w):
+        ok = _PALLAS_ENABLED and pallas_layout_ok(w)
+        if ok:
             from moshi_tpu.quant import pallas_matmul
+            m = 1
+            for s in x.shape[:-1]:
+                m *= s
+            ok = pallas_matmul.storage_ok(w, m)
+        if ok:
             y = pallas_matmul.qmatmul_pallas(x, w, alpha=pre_norm_alpha)
         else:
             if pre_norm_alpha is not None:

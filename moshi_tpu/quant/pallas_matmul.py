@@ -89,11 +89,23 @@ def _int8_dispatch(qt: QuantTensor, m: int) -> bool:
     return int8_shape_ok(qt, m)
 
 
+def _i8_storage(qt: QuantTensor) -> bool:
+    return qt.fmt in ("q4_0", "q4_k") and qt.q.dtype != jnp.uint8
+
+
+def storage_ok(qt: QuantTensor, m: int) -> bool:
+    """Can the pallas entry points evaluate this QuantTensor at this
+    activation row count?  Packed storage: always.  Unpacked i8 storage
+    (`with_i8_storage`): only via the int8-MXU kernels (m == 1 decode) —
+    callers with an XLA fallback should take it when this returns False."""
+    return not _i8_storage(qt) or _int8_dispatch(qt, m)
+
+
 def _check_packed(qt: QuantTensor):
     """The f32-dequant kernels only consume planar-packed nibbles; i8
     storage (`with_i8_storage`) is int8-MXU-kernel-only — fail loudly
     instead of misreading the buffer."""
-    if qt.fmt in ("q4_0", "q4_k") and qt.q.dtype != jnp.uint8:
+    if _i8_storage(qt):
         raise ValueError(
             f"{qt.fmt} QuantTensor has unpacked i8 storage, which only the "
             "int8-MXU kernels consume (m == 1 decode). This call fell "
@@ -478,7 +490,8 @@ def glu_matmul_pallas(x: jnp.ndarray, qt: QuantTensor, alpha=None,
     tile = _pick_tile(h)
     if h % tile or qt.fmt not in ("q8_0", "q4_k"):
         return None  # caller falls back
-    _check_packed(qt)
+    if _i8_storage(qt):
+        return None  # f32-dequant kernels need packed nibbles
     nblocks = h // tile
     grid = (nblocks,)
     x_spec = pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -715,7 +728,8 @@ def glu_matmul_pallas_stacked(x: jnp.ndarray, qt: QuantTensor, layer,
     tile = _pick_tile(h)
     if h % tile or qt.fmt not in ("q8_0", "q4_k"):
         return None
-    _check_packed(qt)
+    if _i8_storage(qt):
+        return None  # f32-dequant kernels need packed nibbles
     nblocks = h // tile
     lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
     x_spec = pl.BlockSpec((m, k), lambda i, s: (0, 0),

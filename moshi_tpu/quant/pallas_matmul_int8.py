@@ -65,15 +65,19 @@ def int8_shape_ok(qt: QuantTensor, m: int) -> bool:
     k = qt.shape[-1]
     if k % QK:
         return False
-    nb = k // QK
-    if nb % 8:
-        return False
-    # the block-diagonal activation spread lives in VMEM as [nb, k] i8 =
-    # k^2/32 bytes; cap it well under the 100 MB limit (real shapes are
-    # k in {1024, 4096} -> 32 KB / 512 KB)
-    if nb * k > 4 * 1024 * 1024:
+    # the block-diagonal activation spread lives in VMEM as [nb_pad, k]
+    # i8 ~= k^2/32 bytes; cap it well under the 100 MB limit (real shapes
+    # are k in {1024, 4096, 11264} -> 32 KB / 512 KB / 4 MB)
+    if _pad8(k // QK) * k > 8 * 1024 * 1024:
         return False
     return True
+
+
+def _pad8(nb: int) -> int:
+    """Sublane-align the block axis: scratch rows and scale lanes are
+    padded to a multiple of 8; padded blocks carry dx=1, xq=0, scale=0
+    and contribute exactly zero (k=4224 -> nb=132 -> nb_pad=136)."""
+    return -(-nb // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -289,13 +293,23 @@ def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
             memory_space=pltpu.VMEM)
 
     qcols = qt.q.shape[-1]        # K (unpacked/q8_0) or K/2 (packed)
+    nb_pad = _pad8(nb)
+
+    def _padded(c):
+        # pad scale lanes nb -> nb_pad with zeros (padded blocks multiply
+        # the padded dots/sums, which are themselves zero)
+        if nb_pad == nb:
+            return c
+        return jnp.pad(c, ((0, 0), (0, nb_pad - nb)))
+
     if qt.fmt == "q4_k":
         qt = qt.with_eff_scales()
-        comps = (_flat2(qt.q), _flat2(qt.es), _flat2(qt.em))
-        spec_cols = (qcols, nb, nb)
+        comps = (_flat2(qt.q), _padded(_flat2(qt.es)),
+                 _padded(_flat2(qt.em)))
+        spec_cols = (qcols, nb_pad, nb_pad)
     else:
-        comps = (_flat2(qt.q), _flat2(qt.d))
-        spec_cols = (qcols, nb)
+        comps = (_flat2(qt.q), _padded(_flat2(qt.d)))
+        spec_cols = (qcols, nb_pad)
 
     w_inputs = []
     w_specs = []
@@ -305,16 +319,16 @@ def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
             w_inputs.append(comp)
             w_specs.append(wspec(cols, off))
 
-    kernel = _mk_kernel(qt.fmt, k, nb, packed, fuse, glu)
+    kernel = _mk_kernel(qt.fmt, k, nb_pad, packed, fuse, glu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[x_spec] + norm_specs + w_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((nb, k), jnp.int8),
-            pltpu.VMEM((1, nb), jnp.float32),
-            pltpu.VMEM((1, nb), jnp.float32),
+            pltpu.VMEM((nb_pad, k), jnp.int8),
+            pltpu.VMEM((1, nb_pad), jnp.float32),
+            pltpu.VMEM((1, nb_pad), jnp.float32),
         ],
     )
     cost = pl.CostEstimate(

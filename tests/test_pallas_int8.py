@@ -22,7 +22,7 @@ NB = K // QK
 
 def _sim_act_quant(x):
     """Per-32-block int8 activation quantization (numpy oracle)."""
-    xb = x.reshape(-1, NB, QK)
+    xb = x.reshape(-1, x.shape[-1] // QK, QK)
     m = np.abs(xb).max(-1, keepdims=True)
     dx = np.where(m > 0, m / 127.0, 1.0)
     xq = np.round(xb / dx)
@@ -129,8 +129,22 @@ def test_int8_shape_gates(rng):
     qt = quantize(rng.normal(size=(O, K)).astype(np.float32), "q4_k")
     assert int8_shape_ok(qt, 1)
     assert not int8_shape_ok(qt, 4)          # decode only
-    qt2 = quantize(rng.normal(size=(O, 128)).astype(np.float32), "q4_0")
-    assert not int8_shape_ok(qt2, 1)         # nb=4 not a multiple of 8
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0"])
+def test_int8_nonaligned_block_count(rng, fmt):
+    """k=4224 (the 7B depformer FFN hidden) has nb=132, not a sublane
+    multiple — the kernel pads blocks to nb_pad=136 with zero scales."""
+    k = 4224
+    w = rng.normal(size=(256, k)).astype(np.float32)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    qt = quantize(w, fmt)
+    assert int8_shape_ok(qt, 1)
+    y = np.asarray(qmatmul_i8(jnp.asarray(x), qt, interpret=True))
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    ref = _sim_act_quant(x) @ wd.T
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 5e-3, f"{fmt}: rel {rel}"
 
 
 def test_f32_kernels_reject_i8_storage(rng):
@@ -149,6 +163,94 @@ def test_dequantize_i8_storage_matches_packed(rng):
         a = np.asarray(dequantize(qt, jnp.float32))
         b = np.asarray(dequantize(qt.with_i8_storage(), jnp.float32))
         np.testing.assert_array_equal(a, b)
+
+
+def test_i8_storage_batched_falls_back_to_xla(rng):
+    """m>1 calls on i8-storage weights must take the XLA dequant path
+    (qmatmul guard / glu None-fallback), not raise."""
+    from moshi_tpu.nn.gating import gating_mlp
+    from moshi_tpu.quant.formats import enable_pallas, qmatmul
+    qt = quantize(rng.normal(size=(O, K)).astype(np.float32),
+                  "q4_k").with_i8_storage()
+    x4 = jnp.asarray(rng.normal(size=(4, K)).astype(np.float32))
+    enable_pallas(True)
+    try:
+        y = np.asarray(qmatmul(x4, qt))
+        ref = np.asarray(x4.astype(jnp.bfloat16) @ dequantize(
+            qt, jnp.bfloat16).T.astype(jnp.bfloat16),
+            np.float32)
+        rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert rel < 0.02, rel
+        glu = {"linear_in": {"weight": quantize(
+            rng.normal(size=(2 * O, K)).astype(np.float32),
+            "q4_k").with_i8_storage()},
+            "linear_out": {"weight": rng.normal(size=(K, O)).astype(
+                np.float32)}}
+        out = gating_mlp(glu, x4)          # must not raise
+        assert out.shape == (4, K)
+    finally:
+        enable_pallas(False)
+
+
+def test_i8_storage_tree_skips_embeddings(rng):
+    from moshi_tpu.quant.formats import i8_storage_tree
+    tree = {
+        "text_emb": {"weight": quantize(
+            rng.normal(size=(O, K)).astype(np.float32), "q4_k")},
+        "attn": {"weight": quantize(
+            rng.normal(size=(O, K)).astype(np.float32), "q4_k")},
+    }
+    out = i8_storage_tree(tree)
+    assert out["text_emb"]["weight"].q.dtype == jnp.uint8   # untouched
+    assert out["attn"]["weight"].q.dtype == jnp.int8
+
+
+def test_i8_storage_lm_step_matches_packed():
+    """Full LM generation step with i8-storage params ≡ packed params
+    (both through the int8-MXU kernels; integer dots are exact)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
+    from moshi_tpu.quant.formats import enable_pallas, i8_storage_tree
+    from moshi_tpu.runtime.synth import synth_lm_params
+    cfg = LMConfig(
+        dim=256, num_heads=4, num_layers=2, hidden_dim=256, context=32,
+        card=256, n_q=4, dep_q=2, text_card=512, delays=(0, 0, 1, 1, 2),
+        depformer_dim=256, depformer_heads=4, depformer_layers=1,
+        depformer_hidden=256, depformer_low_rank=16)
+    params = synth_lm_params(jax.random.PRNGKey(0), cfg, fmt="q4_k")
+    params_i8 = i8_storage_tree(params)
+
+    def run(p):
+        enable_pallas(True)
+        try:
+            state = init_gen_state(cfg, 1, jax.random.PRNGKey(5))
+            outs = []
+            for _ in range(3):
+                with pltpu.force_tpu_interpret_mode():
+                    out, state = lm_gen_step(cfg, p, state, temp=0.0,
+                                             temp_text=0.0)
+                outs.append((np.asarray(out["sampled_text"]),
+                             np.asarray(out["audio"])))
+            return outs
+        finally:
+            enable_pallas(False)
+
+    ref = run(params)
+    got = run(params_i8)
+    for f in range(3):
+        np.testing.assert_array_equal(got[f][0], ref[f][0])
+        np.testing.assert_array_equal(got[f][1], ref[f][1])
+
+
+def test_int8_nonaligned_tpu_cross_lowering(rng):
+    """nb_pad lane-padding (k=4224 -> 136 scale lanes) must survive the
+    Mosaic block rules."""
+    k = 4224
+    qt = quantize(rng.normal(size=(1024, k)).astype(np.float32) * 0.02,
+                  "q8_0")
+    x = jnp.zeros((1, k), jnp.float32)
+    f = jax.jit(lambda x, q: qmatmul_i8(x, q, interpret=False))
+    f.trace(x, qt).lower(lowering_platforms=("tpu",))
 
 
 @pytest.mark.parametrize("storage", ["packed", "unpacked"])
