@@ -197,6 +197,111 @@ def _decode_attn_kernel_stacked(l_ref, last_ref, lastmod_ref, q_ref,
         o_ref[0] = (acc_ref[:] / l2_ref[0][:, None]).astype(o_ref.dtype)
 
 
+def _decode_attn_kernel_stacked_mxu(l_ref, last_ref, lastmod_ref, q_ref,
+                                    ck_ref, cv_ref, k_ref, v_ref, o_ref,
+                                    m_ref, l2_ref, acc_ref, qsp_ref,
+                                    fold_ref, *, cap, context, chunk,
+                                    scale, h, hd):
+    """MXU decode attention: the VPU variant above spends ~10 lane passes
+    per KV element (bf16->f32 converts, broadcast multiplies, log-depth
+    lane reductions) and measured 0.35 TB/s on the 7B ring (BENCH_NOTES
+    round-3 probe).  Here KV elements pass through the MXU exactly once:
+
+      * scores: ONE contraction  qsp [H, H*hd] @ k2 [C, H*hd]^T -> [H, C]
+        where qsp is the pre-scaled block-diagonal spread of q (built in
+        scratch at chunk 0) — the H*hd contraction computes all heads'
+        q.k in one MXU pass over the chunk;
+      * weighted values: p [H, C] @ v2 [C, H*hd] -> [H, H*hd] (all
+        (h, h') dots), diagonal blocks extracted by an iota mask and ONE
+        fold contraction [H, H*hd] @ [H*hd, hd] -> [H, hd];
+      * softmax state lives [H, 1]/[H, C] (lane-dim C), so the per-chunk
+        VPU work is O(H*C), independent of hd.
+
+    bf16 rings only (fp8 dispatches to the VPU kernel: a full-tile
+    fp8->bf16 convert stack-allocates on this Mosaic)."""
+    bi = pl.program_id(0)
+    ci = pl.program_id(1)
+    nchunks = pl.num_programs(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        q = q_ref[0].astype(jnp.float32)                   # [H, hd]
+        ck = ck_ref[0].astype(jnp.float32)
+        s_cur = jnp.sum(q * ck, axis=-1, keepdims=True) * scale
+        m_ref[:] = s_cur                                   # [H, 1]
+        l2_ref[:] = jnp.ones_like(l2_ref)
+        acc_ref[:] = cv_ref[0].astype(jnp.float32)
+        # pre-scaled block-diagonal q spread:
+        #   qsp[h, h2*hd + d] = scale * q[h, d] * (h2 == h)
+        qt = jnp.concatenate([q * scale] * h, axis=1)      # [H, H*hd]
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, h * hd), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, h * hd), 0)
+        qsp_ref[:] = jnp.where((col // hd) == row, qt,
+                               0.0).astype(jnp.bfloat16)
+        # fold[h2*hd + d, d2] = (d == d2) — sums diagonal blocks back to
+        # [H, hd]; built in row slabs (a full-tile i32->bf16 convert of
+        # [H*hd, hd] stack-allocates on this Mosaic)
+        for r0 in range(0, h * hd, 512):
+            rs = min(512, h * hd - r0)
+            frow = jax.lax.broadcasted_iota(jnp.int32, (rs, hd), 0) + r0
+            fcol = jax.lax.broadcasted_iota(jnp.int32, (rs, hd), 1)
+            fold_ref[r0:r0 + rs] = ((frow % hd) == fcol).astype(
+                jnp.bfloat16)
+
+    k2 = k_ref[0, 0]                                       # [C, H*hd] bf16
+    v2 = v_ref[0, 0]
+    s = jax.lax.dot_general(qsp_ref[:], k2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [H, C]
+    last = last_ref[bi]
+    r = lastmod_ref[bi]
+    j = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    delta = jnp.where(j > r, r - j + cap, r - j)
+    valid = (delta < context - 1) & (last - delta >= 0) & (j < cap)
+    s = jnp.where(valid, s, NEG)
+
+    m_prev = m_ref[:]                                      # [H, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                                 # [H, C]
+    l2_ref[:] = l2_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(jnp.bfloat16), v2,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, h * hd), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, h * hd), 0)
+    pv = jnp.where((col // hd) == row, pv, 0.0)
+    chunk_av = jax.lax.dot_general(pv.astype(jnp.bfloat16), fold_ref[:],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * corr + chunk_av
+    m_ref[:] = m_new
+
+    @pl.when(ci == nchunks - 1)
+    def _done():
+        o_ref[0] = (acc_ref[:] / l2_ref[:]).astype(o_ref.dtype)
+
+
+def _chunk_for_mxu(cap: int) -> int:
+    """Chunk for the MXU kernel's flat [.., chunk, H*hd] blocks: the ring
+    chunk sits in the SUBLANE slot, so it must divide cap AND be a
+    multiple of 8 (or equal cap).  0 = no usable chunk (use the VPU
+    kernel)."""
+    for c in (256, 200, 128, 104, 64, 56, 40, 32, 24, 16, 8):
+        if cap % c == 0:
+            return c
+    return cap if cap < 8 else 0
+
+
+def _use_mxu_attn(kv_dtype, h: int, hd: int, cap: int) -> bool:
+    import os
+    if os.environ.get("MOSHI_TPU_ATTN_MXU", "1") == "0":
+        return False
+    # fp8 rings keep the VPU kernel (full-tile fp8->bf16 converts
+    # stack-allocate); H*hd must be a lane multiple for the flat view
+    return (jnp.dtype(kv_dtype) == jnp.bfloat16 and (h * hd) % 128 == 0
+            and _chunk_for_mxu(cap) > 0)
+
+
 @with_interpret_default
 @functools.partial(jax.jit,
                    static_argnames=("cap", "context", "interpret"))
@@ -216,6 +321,43 @@ def decode_attention_stacked(q, k_stack, v_stack, cur_k, cur_v, offset,
     grid = (b, nchunks)
     lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
     last = offset.astype(jnp.int32) - 1
+    if _use_mxu_attn(k_stack.dtype, h, hd, cap):
+        chunk = _chunk_for_mxu(cap)
+        nchunks = cap // chunk
+        grid = (b, nchunks)
+        nl = k_stack.shape[0]
+        k2 = k_stack.reshape(nl, b, cap, h * hd)   # free: minor dims merge
+        v2 = v_stack.reshape(nl, b, cap, h * hd)
+        hv_spec = pl.BlockSpec((1, h, hd), lambda bi, ci, sl, so, sr:
+                               (bi, 0, 0), memory_space=pltpu.VMEM)
+        ring_spec = pl.BlockSpec(
+            (1, 1, chunk, h * hd),
+            lambda bi, ci, sl, so, sr: (sl[0], bi, ci, 0),
+            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[hv_spec, hv_spec, hv_spec, ring_spec, ring_spec],
+            out_specs=pl.BlockSpec((1, h, hd),
+                                   lambda bi, ci, sl, so, sr: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, hd), jnp.float32),
+                pltpu.VMEM((h, h * hd), jnp.bfloat16),
+                pltpu.VMEM((h * hd, hd), jnp.bfloat16),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_decode_attn_kernel_stacked_mxu, cap=cap,
+                              context=context, chunk=chunk,
+                              scale=hd ** -0.5, h=h, hd=hd),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+            interpret=interpret,
+        )(lidx, last, (last % cap).astype(jnp.int32), q, cur_k, cur_v,
+          k2, v2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,          # layer, last, last % cap
         grid=grid,

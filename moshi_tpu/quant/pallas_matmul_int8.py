@@ -65,6 +65,13 @@ def int8_shape_ok(qt: QuantTensor, m: int) -> bool:
     k = qt.shape[-1]
     if k % QK:
         return False
+    if (k // QK) % 8:
+        # the kernels CAN pad non-sublane-aligned block counts (_pad8),
+        # but the per-call jnp.pad of the stacked scale lanes executes
+        # inside layer scans (hardware A/B: +3.7 ms/frame from 48x13 MB
+        # pads in the depformer scan) — don't auto-dispatch; call
+        # qmatmul_i8 directly if the weight layout is pre-padded
+        return False
     # the block-diagonal activation spread lives in VMEM as [nb_pad, k]
     # i8 ~= k^2/32 bytes; cap it well under the 100 MB limit (real shapes
     # are k in {1024, 4096, 11264} -> 32 KB / 512 KB / 4 MB)

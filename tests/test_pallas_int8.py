@@ -139,7 +139,9 @@ def test_int8_nonaligned_block_count(rng, fmt):
     w = rng.normal(size=(256, k)).astype(np.float32)
     x = rng.normal(size=(1, k)).astype(np.float32)
     qt = quantize(w, fmt)
-    assert int8_shape_ok(qt, 1)
+    # not auto-dispatched (the per-call scale pad is too costly inside
+    # layer scans — see int8_shape_ok), but direct calls support it
+    assert not int8_shape_ok(qt, 1)
     y = np.asarray(qmatmul_i8(jnp.asarray(x), qt, interpret=True))
     wd = np.asarray(dequantize(qt, jnp.float32))
     ref = _sim_act_quant(x) @ wd.T
