@@ -76,26 +76,33 @@ def main(argv=None):
         audio = np.pad(audio, (0, n * FRAME_SIZE - len(audio)))
     n = len(audio) // FRAME_SIZE
 
-    out_parts = []
+    outs = []
     transcript = []
     pad_id = config.existing_text_padding_id
-    # warmup/compile on the first frame, then time the rest
+    # PIPELINED frame loop (the reference's own tight-loop methodology,
+    # moshi-sts.cpp:770-806): frames dispatch asynchronously and nothing
+    # is fetched until the end — a per-frame device->host fetch would
+    # serialize every frame on the dispatch round-trip.  Frame 0 is the
+    # compile/warmup boundary and is excluded from timing.
     t0 = None
-    frames_timed = 0
     for f in range(n):
         frame = audio[f * FRAME_SIZE:(f + 1) * FRAME_SIZE][None]
         out, state = pipe.step(mimi_params, lm_params, state, frame)
-        np.asarray(out["audio_out"])
         if f == 0:
+            jax.block_until_ready(out["audio_out"])
             t0 = time.perf_counter()
-        else:
-            frames_timed += 1
-        out_parts.append(np.asarray(out["audio_out"])[0])
-        token = int(np.asarray(out["text"])[0])
+        outs.append(out)
+    if outs:
+        jax.block_until_ready(outs[-1]["audio_out"])
+    dt = time.perf_counter() - t0 if t0 else 1.0
+    frames_timed = max(n - 1, 0)
+    fps = frames_timed / dt if frames_timed else 0.0
+    # host-side decode after timing
+    out_parts = [np.asarray(o["audio_out"])[0] for o in outs]
+    for o in outs:
+        token = int(np.asarray(o["text"])[0])
         if token not in (pad_id, 0, -2) and token >= 0 and tok:
             transcript.append(tok.id_to_piece(token))
-    dt = time.perf_counter() - t0 if t0 else 1.0
-    fps = frames_timed / dt if frames_timed else 0.0
 
     if not args.bench:
         from moshi_tpu.io.media import save_audio as save_wav

@@ -90,12 +90,26 @@ def main(argv=None):
     # text lags the audio by audio_delay_seconds; subtitle timestamps must
     # subtract that delay (reference: moshi-stt.cpp:438,622,644)
     stt_frame_delay = int(config.stt_config.audio_delay_seconds * 12.5)
-    t0 = time.perf_counter()
+    # PIPELINED frame loop: STT has no host-side per-frame decision, so
+    # frames dispatch asynchronously and the (tiny) text/vad outputs are
+    # fetched AFTER timing — per-frame fetches would serialize on the
+    # dispatch round-trip (BENCH_NOTES methodology)
+    outs = []
+    t0 = None
     for f in range(n):
         frame = audio[f * FRAME_SIZE:(f + 1) * FRAME_SIZE][None]
         out, state = pipe.step(mimi_params, lm_params, state, frame)
-        token = int(np.asarray(out["text"])[0])
-        vad = float(np.asarray(out["vad"])[0])
+        if f == 0:
+            # compile/warmup boundary — frame 0 excluded from timing
+            jax.block_until_ready(out["text"])
+            t0 = time.perf_counter()
+        outs.append((out["text"], out["vad"]))
+    if outs:
+        jax.block_until_ready(outs[-1][0])
+    dt = time.perf_counter() - t0 if t0 else 1.0
+    for f, (tok_dev, vad_dev) in enumerate(outs):
+        token = int(np.asarray(tok_dev)[0])
+        vad = float(np.asarray(vad_dev)[0])
         ts = max(f - stt_frame_delay, 0) / 12.5
         if token not in (pad_id, 0, -2) and token >= 0:
             piece = tok.id_to_piece(token) if tok else f"<{token}>"
@@ -107,7 +121,6 @@ def main(argv=None):
             srt_segments.append((seg_start, ts, "".join(seg_tokens)
                                  .replace("▁", " ").strip()))
             seg_tokens, seg_start = [], None
-    dt = time.perf_counter() - t0
     if seg_tokens:
         end = max(n - stt_frame_delay, 0) / 12.5
         srt_segments.append((seg_start, end, "".join(seg_tokens)
@@ -119,7 +132,7 @@ def main(argv=None):
             for i, (a, b, line) in enumerate(srt_segments, 1):
                 fh.write(f"{i}\n{_fmt_ts(a)} --> {_fmt_ts(b)}\n{line}\n\n")
         print(f"wrote {args.srt}: {len(srt_segments)} segments")
-    fps = n / dt
+    fps = max(n - 1, 0) / dt
     print(f"bench: {fps:.2f} frames/s ({fps / 12.5:.2f}x realtime)")
     return 0
 
