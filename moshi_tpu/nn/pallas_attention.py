@@ -293,8 +293,14 @@ def _chunk_for_mxu(cap: int) -> int:
 
 
 def _use_mxu_attn(kv_dtype, h: int, hd: int, cap: int) -> bool:
+    """OPT-IN (MOSHI_TPU_ATTN_MXU=1): the hardware A/B measured the MXU
+    variant SLOWER in the full 7B frame (23.08 vs 18.3 ms pipelined) —
+    the spread/fold contractions and the extra [H, H*hd] scratch cost
+    more than the VPU passes they replace on this bandwidth-bound
+    decode.  Kept for re-evaluation on future toolchains/chips
+    (BENCH_NOTES round-3 A/B table)."""
     import os
-    if os.environ.get("MOSHI_TPU_ATTN_MXU", "1") == "0":
+    if os.environ.get("MOSHI_TPU_ATTN_MXU", "0") != "1":
         return False
     # fp8 rings keep the VPU kernel (full-tile fp8->bf16 converts
     # stack-allocate); H*hd must be a lane multiple for the flat view
