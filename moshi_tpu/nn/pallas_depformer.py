@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from moshi_tpu.utils.pallas_mode import with_interpret_default
+
 from moshi_tpu.quant.formats import QK, QuantTensor
 from moshi_tpu.quant.pallas_matmul import (_block_sums_mxu,
                                            _expand_block_scales,
@@ -110,6 +112,7 @@ def _dep_layer_kernel(cb_ref, h_ref, k_ref, v_ref,
     h_out[:] = (h2 + y).astype(h_out.dtype)
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=("cap", "heads", "interpret"))
 def dep_layer_step(h, k_cache, v_cache, cb, weights, *, cap: int,
                    heads: int, interpret: bool = False):
@@ -226,6 +229,7 @@ def _dep_step_kernel(cb_ref, h_ref, k_ref, v_ref,
         h_out[:] = h_scr[:]
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=("cap", "heads", "nlayers",
                                              "interpret"))
 def dep_full_step(h, k_cache, v_cache, cb, weights, *, cap: int,
@@ -459,6 +463,7 @@ def _dep_frame_kernel(h_in_ref, text_ref, emb_ref, lr_ref,
         tok_out[0] = jnp.zeros_like(tok_out[0]) + token
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=(
     "cap", "heads", "nlayers", "card", "temp", "top_k", "interpret"))
 def dep_frame_step(h_in_all, text_emb, weights, noise, *, cap: int,

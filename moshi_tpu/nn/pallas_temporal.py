@@ -51,6 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from moshi_tpu.utils.pallas_mode import with_interpret_default
+
 from moshi_tpu.quant.formats import QK
 from moshi_tpu.quant.pallas_matmul import (_expand_block_scales, _q4k_dot,
                                            _silu)
@@ -282,6 +284,7 @@ def _expand_heads_t(x, block: int):
                                preferred_element_type=jnp.float32)
 
 
+@with_interpret_default
 @functools.partial(jax.jit, static_argnames=(
     "cap", "context", "heads", "hidden", "nlayers", "interpret"))
 def temporal_full_step(h, k_cache, v_cache, offset, cos_sin, weights, *,

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from moshi_tpu.quant import pallas_matmul as pm
+from moshi_tpu.utils.pallas_mode import pallas_interpret
 from moshi_tpu.quant.formats import QK, dequantize, quantize
 from moshi_tpu.quant.pallas_matmul_int8 import (glu_matmul_i8,
                                                 int8_shape_ok, qmatmul_i8)
@@ -228,7 +229,7 @@ def test_i8_storage_lm_step_matches_packed():
             state = init_gen_state(cfg, 1, jax.random.PRNGKey(5))
             outs = []
             for _ in range(3):
-                with pltpu.force_tpu_interpret_mode():
+                with pallas_interpret():
                     out, state = lm_gen_step(cfg, p, state, temp=0.0,
                                              temp_text=0.0)
                 outs.append((np.asarray(out["sampled_text"]),

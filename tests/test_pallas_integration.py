@@ -8,6 +8,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
+from moshi_tpu.utils.pallas_mode import pallas_interpret
 from moshi_tpu.quant.formats import enable_pallas
 from moshi_tpu.runtime.synth import synth_lm_params
 
@@ -29,7 +30,11 @@ def test_lm_step_pallas_interpret_matches_xla(fmt):
             outs = []
             for _ in range(3):
                 if pallas:
-                    with pltpu.force_tpu_interpret_mode():
+                    # plain pallas interpreter: the threaded TPU emulator
+                    # (force_tpu_interpret_mode) deadlocks its clock
+                    # io_callbacks against eager main-thread dispatch
+                    # under load (utils/pallas_mode.py)
+                    with pallas_interpret():
                         out, state = lm_gen_step(_cfg, params, state,
                                                  temp=0.0, temp_text=0.0)
                 else:

@@ -19,6 +19,7 @@ from moshi_tpu.nn.transformer import (_forward_megakernel,
                                       can_use_temporal_megakernel,
                                       init_transformer_state,
                                       transformer_forward)
+from moshi_tpu.utils.pallas_mode import pallas_interpret
 from moshi_tpu.quant.formats import enable_pallas
 from moshi_tpu.runtime.synth import synth_lm_params
 
@@ -58,7 +59,7 @@ def test_megakernel_matches_xla_stack(megakernel_env):
         offset = jnp.full((1,), step, jnp.int32)
         y_ref, state_std = transformer_forward(tcfg, tp, state_std, x,
                                                offset)
-        with pltpu.force_tpu_interpret_mode():
+        with pallas_interpret():
             y_got, state_flat = _forward_megakernel(tcfg, tp, state_flat,
                                                     x, offset)
         scale = np.abs(np.asarray(y_ref)).mean()
@@ -88,7 +89,7 @@ def test_megakernel_e2e_lm_step(megakernel_env):
             outs = []
             for _ in range(4):
                 if flat:
-                    with pltpu.force_tpu_interpret_mode():
+                    with pallas_interpret():
                         out, state = lm_gen_step(_cfg, params, state,
                                                  temp=0.0, temp_text=0.0)
                 else:
