@@ -9,6 +9,8 @@ seconds instead of minutes of host-side quantization.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,7 +95,7 @@ def synth_lm_params(key, cfg: LMConfig, fmt: str | None = None,
             out.append(synth_quant_tensor(k, actual, shape[0], shape[1]))
         elif actual is not None and len(shape) > 2:
             # stacked weights [L(,W), O, I]: synthesize per slice and stack
-            lead = int(jnp.prod(jnp.asarray(shape[:-2])))
+            lead = math.prod(shape[:-2])  # host math: no device round-trip
             subkeys = jax.random.split(k, lead)
             qts = [synth_quant_tensor(sk, actual, shape[-2], shape[-1])
                    for sk in subkeys]
