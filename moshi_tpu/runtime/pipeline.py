@@ -163,7 +163,10 @@ class TTSPipeline:
 
         self._text_phase = jax.jit(text_phase)
         self._audio_phase = jax.jit(audio_phase, static_argnums=(6,))
+        self._text_fn = text_phase
+        self._audio_fn = audio_phase
         self._dep_q = dep_q
+        self._fused = None
 
     def init_state(self, batch: int, key=None, lm_params=None):
         return {
@@ -217,3 +220,58 @@ class TTSPipeline:
             mimi_params, lm_params, {"lm": lm_state, "dec": state["dec"]},
             tok, h, forced_audio, depformer_replace)
         return out, new_sub
+
+    # -- device-side FSM: ONE launch per frame, no host round-trip ------
+
+    def enable_device_fsm(self, machine):
+        """Build the fused TTS step with the StateMachine folded in-jit
+        (models/device_machine.py).  Removes the per-frame D->H text
+        fetch the two-phase path pays (the reference's on_text hook is a
+        host callback, lm.h:881-899 — on TPU that sync caps fps at the
+        dispatch round-trip), so frames dispatch pipelined like STS/STT.
+        """
+        from moshi_tpu.models.device_machine import (device_machine_step,
+                                                     machine_device_config)
+        dm = machine_device_config(machine)
+
+        def fused(mimi_params, lm_params, state, mstate, script,
+                  forced_text, forced_audio, cond, ckv, replace):
+            tok, h, lm_state = self._text_fn(lm_params, state["lm"],
+                                             cond, ckv)
+            offset = state["lm"]["offset"]
+            active = forced_text < 0
+            mtok, mstate = device_machine_step(dm, script, mstate,
+                                               offset, tok, active)
+            tok = jnp.where(forced_text >= 0, forced_text, mtok)
+            out, new_sub = self._audio_fn(
+                mimi_params, lm_params,
+                {"lm": lm_state, "dec": state["dec"]},
+                tok, h, forced_audio, replace)
+            out["end_step"] = mstate["end_step"]
+            out["machine_text"] = tok
+            return out, new_sub, mstate
+
+        self._fused = jax.jit(fused, static_argnums=(9,),
+                              donate_argnums=(2, 3))
+        return dm
+
+    def step_device(self, mimi_params, lm_params, state, mstate, script,
+                    forced_text=None, forced_audio=None,
+                    condition_sum=None, cross_kv=None,
+                    depformer_replace: bool = False):
+        """One TTS frame with the FSM on device (enable_device_fsm first).
+        forced_text [B] with -1 = let the machine drive; forced_audio
+        [B, dep_q] with UNGENERATED = keep.  Returns
+        (outputs, new_state, new_mstate); outputs["end_step"] is the
+        device-side end marker (-1 = script not finished) the host may
+        poll with a lag instead of blocking every frame."""
+        from moshi_tpu.models.lm import UNGENERATED
+        b = state["lm"]["offset"].shape[0]
+        if forced_text is None:
+            forced_text = jnp.full((b,), -1, jnp.int32)
+        if forced_audio is None:
+            forced_audio = jnp.full((b, self._dep_q), UNGENERATED,
+                                    jnp.int32)
+        return self._fused(mimi_params, lm_params, state, mstate, script,
+                           forced_text, forced_audio, condition_sum,
+                           cross_kv, depformer_replace)

@@ -44,6 +44,10 @@ def main(argv=None):
                          "(cross-attention models) or a speaker wav "
                          "(prefix models)")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--host-fsm", action="store_true",
+                    help="per-frame host StateMachine (the reference's "
+                         "on_text-hook structure, one D->H sync per "
+                         "frame) instead of the fused device FSM")
     ap.add_argument("--max-frames", type=int, default=2000)
     ap.add_argument("--temp", type=float, default=0.6)
     ap.add_argument("--temp-text", type=float, default=0.6)
@@ -139,43 +143,112 @@ def main(argv=None):
         text_prefixes, audio_prefixes = make_voice_prefix(
             lambda a: streamer.encode(a), audio, lm_cfg, lm_cfg.delay_steps)
 
-    wav_parts = []
-    text_tokens = 0
     final_padding = 4
-    t0 = time.perf_counter()
-    frames = 0
-    offset = 0
     from moshi_tpu.models.lm import UNGENERATED
-    while frames < args.max_frames:
-        replace = offset < lm_cfg.delay_steps
-        forced_text = (int(text_prefixes.pop(0)) if text_prefixes else None)
-        forced_audio = None
-        if audio_prefixes:
-            codes = audio_prefixes.pop(0)
-            fa = np.full((1, lm_cfg.runtime_dep_q), UNGENERATED, np.int32)
-            fa[0, : len(codes)] = codes
-            import jax.numpy as _jnp
-            forced_audio = _jnp.asarray(fa)
-        out, state = pipe.step(mimi_params, lm_params, state,
-                               machine=machine, machine_state=mstate,
-                               offset=offset, forced_text=forced_text,
-                               forced_audio=forced_audio,
-                               condition_sum=condition_sum,
-                               cross_kv=cross_kv,
-                               depformer_replace=replace)
-        offset += 1
-        frames += 1
-        if bool(np.asarray(out["valid"])[0]) and not replace:
-            wav_parts.append(np.asarray(out["audio_out"])[0])
-        text_tokens += 1
-        end = mstate.end_step
-        if end >= 0 and offset >= end + lm_cfg.delay_steps + final_padding:
-            break
+
+    def _forced_audio(ap_q):
+        if not ap_q:
+            return None
+        codes = ap_q.pop(0)
+        fa = np.full((1, lm_cfg.runtime_dep_q), UNGENERATED, np.int32)
+        fa[0, : len(codes)] = codes
+        import jax.numpy as _jnp
+        return _jnp.asarray(fa)
+
+    def generate_host():
+        """Reference-structure loop: sampled text token round-trips
+        through the host FSM every frame (two launches + one D->H sync,
+        moshi-tts.cpp / lm.h:881-899)."""
+        state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
+        ms = machine.new_state(entries)
+        tp = list(text_prefixes)
+        ap_q = list(audio_prefixes)
+        wav_parts = []
+        t0 = None
+        frames = offset = 0
+        while frames < args.max_frames:
+            replace = offset < lm_cfg.delay_steps
+            forced_text = (int(tp.pop(0)) if tp else None)
+            out, state = pipe.step(mimi_params, lm_params, state,
+                                   machine=machine, machine_state=ms,
+                                   offset=offset, forced_text=forced_text,
+                                   forced_audio=_forced_audio(ap_q),
+                                   condition_sum=condition_sum,
+                                   cross_kv=cross_kv,
+                                   depformer_replace=replace)
+            offset += 1
+            frames += 1
+            if bool(np.asarray(out["valid"])[0]) and not replace:
+                wav_parts.append(np.asarray(out["audio_out"])[0])
+            if frames == 1:
+                # compile boundary: frame 0 excluded from timing
+                t0 = time.perf_counter()
+            end = ms.end_step
+            if end >= 0 and offset >= end + lm_cfg.delay_steps + \
+                    final_padding:
+                break
+        dt = time.perf_counter() - t0 if t0 else 1.0
+        return wav_parts, frames, max(frames - 1, 1) / dt
+
+    def generate_device():
+        """Fused path: StateMachine in-jit (ONE launch per frame), frames
+        dispatch pipelined; the host polls end_step with a lag instead of
+        syncing every frame (device_machine.py)."""
+        import jax.numpy as _jnp
+        from moshi_tpu.models.device_machine import (compile_script,
+                                                     init_device_state)
+        dm = pipe.enable_device_fsm(machine)
+        script_arr = compile_script([entries], dm)
+        state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
+        mdev = init_device_state(dm, script_arr)
+        tp = list(text_prefixes)
+        ap_q = list(audio_prefixes)
+        outs = []
+        t0 = None
+        total = None
+        POLL = 12            # end_step poll lag (frames); 1 RPC per POLL
+        f = 0
+        while f < args.max_frames and (total is None or f < total):
+            replace = f < lm_cfg.delay_steps
+            forced_text = (_jnp.asarray([tp.pop(0)], _jnp.int32)
+                           if tp else None)
+            out, state, mdev = pipe.step_device(
+                mimi_params, lm_params, state, mdev, script_arr,
+                forced_text=forced_text, forced_audio=_forced_audio(ap_q),
+                condition_sum=condition_sum, cross_kv=cross_kv,
+                depformer_replace=replace)
+            outs.append(out)
+            f += 1
+            if f == 1:
+                import jax as _jax
+                _jax.block_until_ready(out["end_step"])
+                t0 = time.perf_counter()
+            if total is None and f > POLL and f % POLL == 0:
+                end = int(np.asarray(outs[f - POLL]["end_step"])[0])
+                if end >= 0:
+                    total = min(args.max_frames,
+                                end + lm_cfg.delay_steps + final_padding)
+        import jax as _jax
+        frames = min(f, total) if total is not None else f
+        outs = outs[:frames]
+        _jax.block_until_ready(outs[-1]["end_step"])
+        dt = time.perf_counter() - t0 if t0 else 1.0
+        wav_parts = [np.asarray(o["audio_out"])[0]
+                     for i, o in enumerate(outs)
+                     if i >= lm_cfg.delay_steps
+                     and bool(np.asarray(o["valid"])[0])]
+        return wav_parts, frames, max(frames - 1, 1) / dt
+
+    generate = generate_host if args.host_fsm else generate_device
+    if args.bench:
+        generate()          # warm both depformer_replace variants
+    t0 = time.perf_counter()
+    wav_parts, frames, fps = generate()
     dt = time.perf_counter() - t0
+    text_tokens = frames
     wav = np.concatenate(wav_parts) if wav_parts else np.zeros(FRAME_SIZE)
     from moshi_tpu.io.media import save_audio as save_wav
     save_wav(args.output, wav, SAMPLE_RATE)
-    fps = frames / dt
     print(f"wrote {args.output}: {len(wav) / SAMPLE_RATE:.2f}s audio, "
           f"{frames} frames in {dt:.2f}s")
     print(f"bench: {fps:.2f} frames/s ({fps / 12.5:.2f}x realtime), "

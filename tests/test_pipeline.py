@@ -98,3 +98,45 @@ def test_sts_determinism_same_seed(models, rng):
     a, b, c = run(11), run(11), run(12)
     np.testing.assert_array_equal(a, b)      # same seed -> identical
     assert (a != c).any()                    # different seed -> different
+
+
+def test_tts_device_fsm_matches_host_fsm(models):
+    """The fused one-launch TTS step (device FSM in-jit) must produce the
+    exact token/audio stream of the two-phase host-FSM path under greedy
+    sampling — same machine decisions, same delay-cache contents."""
+    import jax.numpy as jnp
+    mimi, mimi_params, lm_params = models
+    entries = [Entry([10, 11], "hi", 1), Entry([], "<break>", 2),
+               Entry([12], "yo", 0)]
+    machine = StateMachine(text_card=_lm_cfg.text_card + 1,
+                           max_padding=4, initial_padding=1)
+    n_steps = 12
+
+    pipe = TTSPipeline(mimi, _lm_cfg, temp=0.0, temp_text=0.0,
+                       mimi_dtype=jnp.float32)
+    # host path
+    ms = machine.new_state([Entry(list(e.tokens), e.text, e.padding)
+                            for e in entries])
+    state = pipe.init_state(1, jax.random.PRNGKey(5))
+    host_audio, host_tok = [], []
+    for off in range(n_steps):
+        out, state = pipe.step(mimi_params, lm_params, state,
+                               machine=machine, machine_state=ms,
+                               offset=off)
+        host_audio.append(np.asarray(out["audio_out"]))
+        host_tok.append(np.asarray(out["audio_tokens"]))
+    # device path
+    from moshi_tpu.models.device_machine import (compile_script,
+                                                 init_device_state)
+    dm = pipe.enable_device_fsm(machine)
+    script = compile_script([entries], dm)
+    state = pipe.init_state(1, jax.random.PRNGKey(5))
+    mdev = init_device_state(dm, script)
+    for off in range(n_steps):
+        out, state, mdev = pipe.step_device(mimi_params, lm_params,
+                                            state, mdev, script)
+        np.testing.assert_array_equal(np.asarray(out["audio_tokens"]),
+                                      host_tok[off], f"step {off}")
+        np.testing.assert_allclose(np.asarray(out["audio_out"]),
+                                   host_audio[off], atol=1e-6)
+    assert int(np.asarray(mdev["end_step"])[0]) == ms.end_step
