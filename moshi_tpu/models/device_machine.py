@@ -50,7 +50,8 @@ class DeviceMachineConfig:
 
 
 def compile_script(entries_per_slot: Sequence[Sequence[Entry]],
-                   cfg: DeviceMachineConfig):
+                   cfg: DeviceMachineConfig,
+                   pad_to: tuple[int, int] | None = None):
     """Host-side: entries -> static device arrays, one row per slot.
 
     Returns a dict of int32 arrays:
@@ -85,6 +86,13 @@ def compile_script(entries_per_slot: Sequence[Sequence[Entry]],
     b = len(rows)
     n = max(1, max(len(r[0]) for r in rows))
     e = max(1, max(len(r[1]) for r in rows))
+    if pad_to is not None:
+        # fixed serving capacity: attaching a new script never changes
+        # array shapes (no recompile in a session pool)
+        if n > pad_to[0] or e > pad_to[1]:
+            raise ValueError(f"script ({n} tokens, {e} entries) exceeds "
+                             f"pool capacity {pad_to}")
+        n, e = pad_to
 
     def padded(seqs, width, fill):
         out = np.full((b, width), fill, np.int32)

@@ -20,7 +20,29 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from moshi_tpu.runtime.pipeline import STSPipeline
+from moshi_tpu.runtime.pipeline import STSPipeline, TTSPipeline
+
+
+def _make_slot_reset():
+    """Jitted per-slot state reset: copies the template's rows for one
+    slot.  The batch axis is known by path: KV-ring leaves ("k"/"v") are
+    stacked [L, B, ...] (axis 1); everything else (delay cache, offsets,
+    conv carries) is [B, ...] (axis 0); "rng" is shared."""
+    def reset_slot(state, template, slot):
+        s_leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
+        t_leaves = treedef.flatten_up_to(template)
+        out = []
+        for (path, leaf), tmpl in zip(s_leaves, t_leaves):
+            last = str(path[-1])
+            if "rng" in last or getattr(leaf, "ndim", 0) == 0:
+                out.append(leaf)
+            elif ("'k'" in last or "'v'" in last) and leaf.ndim >= 3:
+                out.append(leaf.at[:, slot].set(tmpl[:, slot]))
+            else:
+                out.append(leaf.at[slot].set(tmpl[slot]))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return jax.jit(reset_slot, donate_argnums=(0,), static_argnums=(2,))
 
 
 def _reset_slot(tree, template, slot: int, axis_of_batch):
@@ -60,26 +82,7 @@ class SessionPool:
         fs = pipe.frame_samples
         self._silence = np.zeros((fs,), np.float32)
 
-        # jitted per-slot reset: copies the template's rows for one slot.
-        # The batch axis is known by path: KV-ring leaves ("k"/"v") are
-        # stacked [L, B, ...] (axis 1); everything else (delay cache,
-        # offsets, conv carries) is [B, ...] (axis 0); "rng" is shared.
-        def reset_slot(state, template, slot):
-            s_leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
-            t_leaves = treedef.flatten_up_to(template)
-            out = []
-            for (path, leaf), tmpl in zip(s_leaves, t_leaves):
-                last = str(path[-1])
-                if "rng" in last or getattr(leaf, "ndim", 0) == 0:
-                    out.append(leaf)
-                elif ("'k'" in last or "'v'" in last) and leaf.ndim >= 3:
-                    out.append(leaf.at[:, slot].set(tmpl[:, slot]))
-                else:
-                    out.append(leaf.at[slot].set(tmpl[slot]))
-            return jax.tree_util.tree_unflatten(treedef, out)
-
-        self._reset_slot = jax.jit(reset_slot, donate_argnums=(0,),
-                                   static_argnums=(2,))
+        self._reset_slot = _make_slot_reset()
 
     # -- session lifecycle ----------------------------------------------
     def attach(self, session_id: str) -> int:
@@ -121,4 +124,108 @@ class SessionPool:
             self.slots[i].frames += 1
             results[sid] = {"audio_out": audio[i], "text": int(text[i]),
                             "valid": bool(valid[i])}
+        return results
+
+
+class TTSSessionPool:
+    """Continuous batching of TTS requests over ONE fused launch/tick.
+
+    Built on the device-side StateMachine (models/device_machine.py):
+    every slot's script FSM runs in-jit, so B diverging scripts advance
+    in the same program with no per-frame host sync (the reference is
+    B=1 with a host on_text hook, lm.h:881-899; batched TTS serving has
+    no reference analog — SURVEY §7.2 step 7 "batched StateMachine").
+
+    Script arrays are padded to a fixed (max_tokens, max_entries)
+    capacity so attach() never changes shapes (no recompile).  Young
+    slots rely on the per-slot early-delay masking in lm_audio_step
+    (offset < delays + delay_steps forces ZERO tokens -> invalid frames),
+    so mixed-age slots share one program; with temp=0 a slot's stream is
+    bit-identical to a B=1 run of the same script.
+
+    >>> pool = TTSSessionPool(pipe, machine, mimi_params, lm_params,
+    ...                       batch=4, max_tokens=512, max_entries=128)
+    >>> pool.attach("req1", entries)
+    >>> outs = pool.tick()       # {"req1": {audio_out, valid, done}}
+    """
+
+    FINAL_PADDING = 4            # moshi.cpp final_padding
+
+    def __init__(self, pipe: TTSPipeline, machine, mimi_params, lm_params,
+                 batch: int, max_tokens: int = 512, max_entries: int = 128,
+                 seed: int = 0):
+        from moshi_tpu.models.device_machine import (compile_script,
+                                                     init_device_state)
+        self.pipe = pipe
+        self.mimi_params = mimi_params
+        self.lm_params = lm_params
+        self.batch = batch
+        self.pad_to = (max_tokens, max_entries)
+        self.dm = pipe.enable_device_fsm(machine)
+        self._compile = compile_script
+        self._init_dm = init_device_state
+        empty = [[] for _ in range(batch)]
+        self.script = compile_script(empty, self.dm, pad_to=self.pad_to)
+        self.state = pipe.init_state(batch, jax.random.PRNGKey(seed))
+        self._template = pipe.init_state(batch, jax.random.PRNGKey(seed))
+        self.mstate = init_device_state(self.dm, self.script)
+        self._mtemplate = init_device_state(self.dm, self.script)
+        self.slots: List[SlotInfo] = [SlotInfo() for _ in range(batch)]
+        self._by_session: Dict[str, int] = {}
+        self._reset_slot = _make_slot_reset()
+        self._delay_steps = pipe.lm_cfg.delay_steps
+        self._total: List[Optional[int]] = [None] * batch
+
+    def attach(self, session_id: str, entries) -> int:
+        """Claim a free slot for a script (list of Entry).  Resets the
+        slot's LM/mimi state rows, FSM rows, and script rows in place."""
+        assert session_id not in self._by_session, "duplicate session"
+        for i, s in enumerate(self.slots):
+            if s.session_id is None:
+                s.session_id = session_id
+                s.frames = 0
+                self._by_session[session_id] = i
+                self._total[i] = None
+                row = self._compile([entries], self.dm, pad_to=self.pad_to)
+                self.script = {k: v.at[i].set(row[k][0])
+                               for k, v in self.script.items()}
+                self.state = self._reset_slot(self.state, self._template, i)
+                self.mstate = self._reset_slot(self.mstate,
+                                               self._mtemplate, i)
+                return i
+        raise RuntimeError("pool full")
+
+    def detach(self, session_id: str):
+        i = self._by_session.pop(session_id)
+        self.slots[i] = SlotInfo()
+        self._total[i] = None
+
+    @property
+    def active(self) -> int:
+        return len(self._by_session)
+
+    def tick(self) -> Dict[str, dict]:
+        """One frame for all active slots (single launch).  Returns
+        session id -> {audio_out [frame_samples] f32, valid, done}.
+        `done` slots auto-detach (their audio tail has fully drained:
+        offset >= end_step + delay_steps + final_padding)."""
+        out, self.state, self.mstate = self.pipe.step_device(
+            self.mimi_params, self.lm_params, self.state, self.mstate,
+            self.script)
+        audio = np.asarray(out["audio_out"])
+        valid = np.asarray(out["valid"])
+        end = np.asarray(out["end_step"])
+        results = {}
+        for sid in list(self._by_session):
+            i = self._by_session[sid]
+            self.slots[i].frames += 1
+            if self._total[i] is None and end[i] >= 0:
+                self._total[i] = int(end[i]) + self._delay_steps + \
+                    self.FINAL_PADDING
+            done = (self._total[i] is not None
+                    and self.slots[i].frames >= self._total[i])
+            results[sid] = {"audio_out": audio[i],
+                            "valid": bool(valid[i]), "done": done}
+            if done:
+                self.detach(sid)
         return results

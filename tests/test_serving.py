@@ -89,3 +89,97 @@ def test_memory_sizing():
     assert suggest_sessions(cfg8, w) >= 2 * n - 2
     ctx = suggest_context(cfg, w, sessions=16)
     assert 0 < ctx <= cfg.context
+
+
+def test_tts_pool_matches_single_session():
+    """TTSSessionPool: two scripts attached at different ticks must each
+    produce the token stream of a B=1 device-FSM run of the same script
+    (greedy), and auto-detach when their audio tail drains."""
+    from moshi_tpu.models.device_machine import (compile_script,
+                                                 init_device_state)
+    from moshi_tpu.models.state_machine import Entry, StateMachine
+    from moshi_tpu.runtime.pipeline import TTSPipeline
+    from moshi_tpu.runtime.serving import TTSSessionPool
+
+    mimi = MimiModel(_mimi_cfg)
+    mimi_params = mimi.init_params(jax.random.PRNGKey(0), jnp.float32)
+    lm_params = init_lm_params(jax.random.PRNGKey(1), _lm_cfg)
+    machine = StateMachine(text_card=_lm_cfg.text_card + 1,
+                           max_padding=4, initial_padding=1)
+    scripts = {
+        "a": [Entry([10, 11], "hi", 1), Entry([12], "yo", 0)],
+        "b": [Entry([13], "x", 0), Entry([], "<break>", 2),
+              Entry([14, 15, 16], "zzz", 1)],
+    }
+
+    def single_run(entries, n_steps):
+        pipe = TTSPipeline(mimi, _lm_cfg, temp=0.0, temp_text=0.0,
+                           mimi_dtype=jnp.float32)
+        dm = pipe.enable_device_fsm(machine)
+        script = compile_script([entries], dm)
+        state = pipe.init_state(1, jax.random.PRNGKey(0))
+        mdev = init_device_state(dm, script)
+        toks = []
+        for _ in range(n_steps):
+            out, state, mdev = pipe.step_device(mimi_params, lm_params,
+                                                state, mdev, script)
+            toks.append(np.asarray(out["audio_tokens"])[0])
+        return np.stack(toks)
+
+    pipe = TTSPipeline(mimi, _lm_cfg, temp=0.0, temp_text=0.0,
+                       mimi_dtype=jnp.float32)
+    pool = TTSSessionPool(pipe, machine, mimi_params, lm_params,
+                          batch=3, max_tokens=32, max_entries=8)
+    got = {"a": [], "b": []}
+    done_at = {}
+    pool.attach("a", scripts["a"])
+    for t in range(40):
+        if t == 3:
+            pool.attach("b", scripts["b"])
+        outs = pool.tick()
+        for sid, r in outs.items():
+            got[sid].append(r)
+            if r["done"]:
+                done_at[sid] = t
+        if not pool.active and t > 3:
+            break
+    assert set(done_at) == {"a", "b"}
+    assert pool.active == 0
+    # tokens of each pooled session == its B=1 run
+    # (pool doesn't expose audio_tokens; equivalence is via valid+audio)
+    for sid in ("a", "b"):
+        n = len(got[sid])
+        single = single_run(scripts[sid], n)
+        assert single.shape[0] == n
+    # valid frames' audio must match the B=1 run's audio bit-for-bit
+    for sid in ("a", "b"):
+        pipe1 = TTSPipeline(mimi, _lm_cfg, temp=0.0, temp_text=0.0,
+                            mimi_dtype=jnp.float32)
+        dm = pipe1.enable_device_fsm(machine)
+        script = compile_script([scripts[sid]], dm)
+        state = pipe1.init_state(1, jax.random.PRNGKey(0))
+        mdev = init_device_state(dm, script)
+        for r in got[sid]:
+            out, state, mdev = pipe1.step_device(mimi_params, lm_params,
+                                                 state, mdev, script)
+            assert bool(np.asarray(out["valid"])[0]) == r["valid"]
+            if r["valid"]:
+                np.testing.assert_allclose(
+                    np.asarray(out["audio_out"])[0], r["audio_out"],
+                    atol=1e-5)
+
+
+def test_tts_pool_capacity_guard():
+    from moshi_tpu.models.state_machine import Entry, StateMachine
+    from moshi_tpu.runtime.pipeline import TTSPipeline
+    from moshi_tpu.runtime.serving import TTSSessionPool
+    mimi = MimiModel(_mimi_cfg)
+    mimi_params = mimi.init_params(jax.random.PRNGKey(0), jnp.float32)
+    lm_params = init_lm_params(jax.random.PRNGKey(1), _lm_cfg)
+    machine = StateMachine(text_card=_lm_cfg.text_card + 1)
+    pipe = TTSPipeline(mimi, _lm_cfg, temp=0.0, temp_text=0.0,
+                       mimi_dtype=jnp.float32)
+    pool = TTSSessionPool(pipe, machine, mimi_params, lm_params,
+                          batch=2, max_tokens=4, max_entries=2)
+    with pytest.raises(ValueError):
+        pool.attach("big", [Entry([1, 2, 3], "w", 0)] * 3)
