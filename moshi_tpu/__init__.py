@@ -38,6 +38,9 @@ def __getattr__(name):  # lazy public API (avoids importing jax at pkg import)
         "LMGenerator": "moshi_tpu.runtime.session",
         "MimiStreamer": "moshi_tpu.runtime.session",
         "SessionPool": "moshi_tpu.runtime.serving",
+        "TTSSessionPool": "moshi_tpu.runtime.serving",
+        "script_to_entries": "moshi_tpu.models.state_machine",
+        "TokenIds": "moshi_tpu.models.state_machine",
         "TTSModel": "moshi_tpu.models.tts",
         "StateMachine": "moshi_tpu.models.state_machine",
         "SentencePieceTokenizer": "moshi_tpu.tokenizer",
