@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--no-mimi", action="store_true",
                     help="LM step only")
-    ap.add_argument("--fmt", default="q4_k", choices=["q4_k", "q8_0", "none"])
+    ap.add_argument("--fmt", default="q4_k",
+                    choices=["q4_k", "q8_0", "q8_r", "none"])
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent sessions (continuous-batching throughput)")
     ap.add_argument("--kv-dtype", default="bfloat16",
@@ -110,20 +111,34 @@ def main():
         pipe = STSPipeline(mimi, cfg, temp=0.8, temp_text=0.7,
                            top_k=250, top_k_text=25)
         state = pipe.init_state(args.batch, lm_params=params)
-        audio_in = np.zeros((args.batch, frame_samples), np.float32)
+        # trap #1 (BENCH_NOTES methodology): identical input buffers can
+        # be memoized/elided by the runtime — cycle distinct device frames
+        rng_in = np.random.default_rng(0)
+        audio_ins = [jnp.asarray(rng_in.normal(
+            size=(args.batch, frame_samples)).astype(np.float32) * 0.1)
+            for _ in range(8)]
+        nf = [0]
 
         def one_frame(state):
-            out, state = pipe.step(mimi_params, params, state, audio_in)
+            a = audio_ins[nf[0] % 8]
+            nf[0] += 1
+            out, state = pipe.step(mimi_params, params, state, a)
             jax.block_until_ready(out["audio_out"])
             return state
 
         def one_frame_async(state):
-            _, state = pipe.step(mimi_params, params, state, audio_in)
+            a = audio_ins[nf[0] % 8]
+            nf[0] += 1
+            _, state = pipe.step(mimi_params, params, state, a)
             return state
     else:
         state = init_gen_state(cfg, args.batch, params=params)
         n_other = cfg.n_q - cfg.dep_q
-        other = jnp.zeros((args.batch, n_other), jnp.int32)
+        rng_in = np.random.default_rng(0)
+        others = [jnp.asarray(rng_in.integers(
+            0, cfg.card, (args.batch, n_other)).astype(np.int32))
+            for _ in range(8)]
+        nf = [0]
         lm_step = jax.jit(
             lambda p, s, o: lm_gen_step(cfg, p, s, other_audio=o,
                                         temp=0.8, temp_text=0.7,
@@ -131,12 +146,16 @@ def main():
             donate_argnums=(1,))
 
         def one_frame(state):
-            out, state = lm_step(params, state, other)
+            o = others[nf[0] % 8]
+            nf[0] += 1
+            out, state = lm_step(params, state, o)
             jax.block_until_ready(out["audio"])
             return state
 
         def one_frame_async(state):
-            _, state = lm_step(params, state, other)
+            o = others[nf[0] % 8]
+            nf[0] += 1
+            _, state = lm_step(params, state, o)
             return state
 
     # warmup / compile — if the fused-kernel path fails to compile on

@@ -32,7 +32,7 @@ import numpy as np
 QK = 32        # sub-block size (q8_0 / q4_0 scale granularity)
 QK_K = 256     # q4_k superblock size
 
-QUANT_FORMATS = ("q8_0", "q4_0", "q4_k")
+QUANT_FORMATS = ("q8_0", "q4_0", "q4_k", "q8_r")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -44,6 +44,11 @@ class QuantTensor:
       q8_0: q int8 [O, I];      d f16 [O, I/32]
       q4_0: q uint8 [O, I/2];   d f16 [O, I/32]            (planar nibbles)
       q4_k: q uint8 [O, I/2];   sc,mn uint8 [O, I/256, 8]; d,dmin f16 [O, I/256]
+      q8_r: q int8 [O, I];      d f16 [O, 1]   (per-ROW scale — w8a8: the
+            matmul contracts raw int8 on the MXU via plain XLA dot_general
+            with a dynamically per-token-quantized activation; no pallas,
+            GSPMD-partitionable.  Not a GGML format: a TPU-native fast
+            path whose accuracy class is per-channel w8a8.)
     """
 
     fmt: str
@@ -167,6 +172,20 @@ def _quantize_q8_0(w: np.ndarray) -> QuantTensor:
                        jnp.asarray(ds).astype(jnp.bfloat16))
 
 
+def _quantize_q8_r(w: np.ndarray) -> QuantTensor:
+    """Per-row symmetric int8 (w8 per-channel): d = rowmax(|w|)/127.
+    TPU-native fast path — the matmul stays a raw int8 MXU contraction
+    in plain XLA (see QuantTensor docstring)."""
+    o, i = w.shape
+    wf = w.astype(np.float32)
+    amax = np.max(np.abs(wf), axis=-1, keepdims=True)       # [O, 1]
+    ds = _bf16_round_np(amax / 127.0)
+    inv = np.where(ds > 0, 1.0 / np.maximum(ds, 1e-30), 0.0)
+    q = np.clip(np.round(wf * inv), -127, 127).astype(np.int8)
+    return QuantTensor("q8_r", (o, i), jnp.asarray(q),
+                       jnp.asarray(ds).astype(jnp.bfloat16))
+
+
 def _quantize_q4_0(w: np.ndarray) -> QuantTensor:
     o, i = w.shape
     assert i % QK == 0 and i % 2 == 0
@@ -229,6 +248,8 @@ def quantize(w: np.ndarray, fmt: str, native: bool = True) -> QuantTensor:
     assert w.ndim == 2, f"only 2-D weights quantize, got {w.shape}"
     if fmt not in QUANT_FORMATS:
         raise ValueError(f"unknown quant format {fmt!r}")
+    if fmt == "q8_r":
+        return _quantize_q8_r(w)
     if native:
         # multithreaded C++ fast path (native/quant.cpp); numpy fallback
         from moshi_tpu.native_quant import quantize_native
@@ -272,6 +293,8 @@ def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     if qt.fmt == "q8_0":
         d = jnp.repeat(qt.d.astype(jnp.float32), QK, axis=-1)
         w = qt.q.astype(jnp.float32) * d
+    elif qt.fmt == "q8_r":
+        w = qt.q.astype(jnp.float32) * qt.d.astype(jnp.float32)
     elif qt.fmt == "q4_0":
         if qt.unpacked:
             q = qt.q.astype(jnp.float32)
@@ -347,6 +370,8 @@ def pallas_layout_ok(qt: QuantTensor) -> bool:
     """The split-half kernels contract lo/hi planar halves separately, so
     scale blocks must not straddle the half boundary: K % 64 == 0 for
     4-bit formats (q8_0 has no packing)."""
+    if qt.fmt == "q8_r":
+        return False      # q8_r is the plain-XLA int8 path by design
     if qt.fmt in ("q4_0", "q4_k"):
         k2 = qt.q.shape[-1]
         return k2 % QK == 0
@@ -364,6 +389,22 @@ def qmatmul(x: jnp.ndarray, w, out_dtype=None,
     """y = x @ w.T for plain arrays or QuantTensors.  x: [..., I] -> [..., O].
     `pre_norm_alpha` fuses an rms pre-norm of x (in-kernel on the Pallas
     path; inline on the XLA path) — same math as nn.layers.rms_norm."""
+    if isinstance(w, QuantTensor) and w.fmt == "q8_r":
+        # w8a8: per-token-quantize the activation, contract raw int8 on
+        # the MXU (plain XLA — streams at the dense rate, shards under
+        # GSPMD), scale by (activation scale x per-row weight scale)
+        if pre_norm_alpha is not None:
+            x = _rms_pre_norm(x, pre_norm_alpha)
+        xf = x.astype(jnp.float32)
+        ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        ax = jnp.maximum(ax, 1e-12)
+        x8 = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(
+            x8, w.q, (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        drow = w.d.astype(jnp.float32).reshape((1,) * (x.ndim - 1) + (-1,))
+        y = yi.astype(jnp.float32) * ax * drow
+        return y.astype(out_dtype) if out_dtype is not None else y
     if isinstance(w, QuantTensor):
         ok = _PALLAS_ENABLED and pallas_layout_ok(w)
         if ok:
@@ -441,6 +482,11 @@ def qt_slice_cols(qt: QuantTensor, c0: int, c1: int) -> QuantTensor:
     requantizes (same bitwidth, q4_k -> q4_0 fallback when the width
     isn't a superblock multiple — mirrors loader.h:162-172)."""
     w = c1 - c0
+    if qt.fmt == "q8_r":
+        # per-row scales are column-invariant: any col slice is exact
+        return QuantTensor("q8_r", (qt.shape[0], w),
+                           jnp.asarray(np.asarray(qt.q)[..., c0:c1]),
+                           qt.d)
     block = QK_K if qt.fmt == "q4_k" else QK
     if c0 % block or c1 % block:
         sl = np.asarray(dequantize(qt, jnp.float32))[..., c0:c1]

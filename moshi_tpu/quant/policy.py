@@ -36,6 +36,8 @@ def choose_format(name: str, shape, fmt: str) -> Optional[str]:
     o, i = shape
     if o < _MIN_ROWS or i < _MIN_COLS:
         return None
+    if fmt == "q8_r":
+        return fmt    # per-row scales: no inner-dim block constraint
     if fmt == "q4_k" and i % QK_K != 0:
         fmt = "q4_0"  # loader.h:162-166
     if fmt in ("q4_0", "q8_0") and i % QK != 0:

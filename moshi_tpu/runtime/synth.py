@@ -33,6 +33,10 @@ def synth_quant_tensor(key, fmt: str, out_dim: int, in_dim: int,
         q = jnp.asarray(rng.integers(-127, 128, (out_dim, in_dim), np.int8))
         d = jnp.full((out_dim, in_dim // QK), scale / 127, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d)
+    if fmt == "q8_r":
+        q = jnp.asarray(rng.integers(-127, 128, (out_dim, in_dim), np.int8))
+        d = jnp.full((out_dim, 1), scale / 127, jnp.bfloat16)
+        return QuantTensor(fmt, (out_dim, in_dim), q, d)
     if fmt == "q4_0":
         q = jnp.asarray(rng.integers(0, 256, (out_dim, in_dim // 2), np.uint8))
         d = jnp.full((out_dim, in_dim // QK), scale / 8, jnp.bfloat16)
@@ -60,6 +64,11 @@ def _synth_quant_tensor_device(key, fmt, out_dim, in_dim, scale):
         q = bits(ks[0], (out_dim, in_dim)).astype(jnp.int8)
         q = jnp.maximum(q, -127)
         d = jnp.full((out_dim, in_dim // QK), scale / 127, jnp.bfloat16)
+        return QuantTensor(fmt, (out_dim, in_dim), q, d)
+    if fmt == "q8_r":
+        q = bits(ks[0], (out_dim, in_dim)).astype(jnp.int8)
+        q = jnp.maximum(q, -127)
+        d = jnp.full((out_dim, 1), scale / 127, jnp.bfloat16)
         return QuantTensor(fmt, (out_dim, in_dim), q, d)
     if fmt == "q4_0":
         q = bits(ks[0], (out_dim, in_dim // 2))

@@ -56,7 +56,7 @@ def add_common_args(ap: argparse.ArgumentParser):
                     help="random weights (no checkpoint needed; for "
                          "smoke tests and benches)")
     ap.add_argument("-q", "--quantize", default=None,
-                    choices=["q4_0", "q4_k", "q8_0"],
+                    choices=["q4_0", "q4_k", "q8_0", "q8_r"],
                     help="weight-only quantization at load")
     ap.add_argument("-g", "--use-cache", action="store_true",
                     help="cache the quantized model to disk and reload "
