@@ -65,8 +65,13 @@ def test_sharded_step_matches_single_device(setup):
                                   np.asarray(out_s["audio"]))
 
 
-def test_sharded_quantized_params(setup):
-    params = quantize_tree(setup, "q8_0")
+import pytest
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q8_r"])
+def test_sharded_quantized_params(setup, fmt):
+    # q8_r is the GSPMD-native path by design (plain XLA int8 dot)
+    params = quantize_tree(setup, fmt)
     mesh = make_mesh(data=1, model=8)
     specs = lm_param_pspecs(params)
     params_s = shard_tree(params, specs, mesh)
