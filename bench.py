@@ -12,12 +12,21 @@ an RTX 2070) for this framework's fused TPU path:
 Weights are synthetic (random packed q4_k bits — identical compute cost
 to real weights).  Prints ONE JSON line.
 
+Measurement is ELISION-PROOF (round-4, VERDICT r3 item 1): every frame
+gets a distinct input buffer; a per-frame output digest is FETCHED to
+host every frame (the reference's own per-frame token consumption; an
+ack cannot fake a D->H byte transfer); untimed validation runs prove the
+digest is a deterministic function of the inputs; and a physics floor
+(weight bytes / 6 TB/s ceiling) marks impossible timings as
+"valid": false instead of reporting them.  Per-frame sync is also the
+FASTEST dispatch mode on this runtime — dispatch-ahead degrades
+super-linearly with queue depth (see moshi_tpu/utils/honest.py).
+
 Usage: python bench.py [--small] [--frames N] [--no-mimi]
 """
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -28,6 +37,10 @@ def main():
                     help="tiny config (CPU smoke test)")
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--windowed-frames", type=int, default=0,
+                    help="frames for the secondary dispatch-ahead phase "
+                         "(diagnostic; dispatch-ahead is pathological "
+                         "on this runtime)")
     ap.add_argument("--no-mimi", action="store_true",
                     help="LM step only")
     ap.add_argument("--fmt", default="q4_k",
@@ -46,13 +59,23 @@ def main():
                     help="use the fused Pallas kernels (default)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="pure-XLA dequant path")
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip the untimed digest-reproducibility runs")
+    ap.add_argument("--window", type=int, default=4,
+                    help="dispatch-ahead depth for the secondary "
+                         "windowed phase (deep queues are pathological "
+                         "on this runtime)")
     ap.add_argument("--profile", default=None,
                     help="write a jax profiler trace to this directory")
     args = ap.parse_args()
 
     import jax
-    # persistent compilation cache: repeated bench runs skip recompiles
     import os
+    if os.environ.get("MOSHI_TPU_CPU"):
+        # the axon sitecustomize force-registers the TPU backend; this
+        # opt-out runs the bench on host CPU (smoke tests)
+        jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: repeated bench runs skip recompiles
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                "/tmp/jax_cache")
     try:
@@ -65,6 +88,7 @@ def main():
     from moshi_tpu.models.mimi import MimiConfig, MimiModel
     from moshi_tpu.nn.seanet import SEANetConfig
     from moshi_tpu.runtime.synth import synth_lm_params
+    from moshi_tpu.utils import honest
 
     if args.batch > 2 and "--pallas" not in __import__("sys").argv:
         # the fused kernels are shaped for M<=2 decode; larger session
@@ -104,64 +128,74 @@ def main():
         params = i8_storage_tree(params)
     use_mimi = not args.no_mimi
 
+    n_inputs = args.warmup + args.frames + args.windowed_frames + 16
+    rng_in = np.random.default_rng(0)
+
     if use_mimi:
         from moshi_tpu.runtime.pipeline import STSPipeline
         mimi = MimiModel(mimi_cfg)
         mimi_params = mimi.init_params(jax.random.PRNGKey(1), jnp.bfloat16)
         pipe = STSPipeline(mimi, cfg, temp=0.8, temp_text=0.7,
                            top_k=250, top_k_text=25)
-        state = pipe.init_state(args.batch, lm_params=params)
-        # trap #1 (BENCH_NOTES methodology): identical input buffers can
-        # be memoized/elided by the runtime — cycle distinct device frames
-        rng_in = np.random.default_rng(0)
+        # distinct device input buffer per call (elision trap #1/#4)
         audio_ins = [jnp.asarray(rng_in.normal(
             size=(args.batch, frame_samples)).astype(np.float32) * 0.1)
-            for _ in range(8)]
-        nf = [0]
+            for _ in range(n_inputs)]
 
-        def one_frame(state):
-            a = audio_ins[nf[0] % 8]
-            nf[0] += 1
-            out, state = pipe.step(mimi_params, params, state, a)
-            jax.block_until_ready(out["audio_out"])
-            return state
+        def bfn(mimi_params, lm_params, state, chained, a):
+            out, state = pipe.frame_fn(mimi_params, lm_params, state, a,
+                                       None, None)
+            # tokens carry input-dependence (always finite); the audio
+            # term forces the decode compute but saturates — synthetic
+            # random SEANet weights legitimately overflow bf16
+            dg = (jnp.nan_to_num(out["audio_out"], nan=1.0,
+                                 posinf=2.0, neginf=-2.0).sum() +
+                  out["audio_tokens"].astype(jnp.float32).sum() +
+                  out["text"].astype(jnp.float32).sum())
+            return state, chained * jnp.float32(0.999) + dg, dg
 
-        def one_frame_async(state):
-            a = audio_ins[nf[0] % 8]
-            nf[0] += 1
-            _, state = pipe.step(mimi_params, params, state, a)
-            return state
+        bjit = jax.jit(bfn, donate_argnums=(2,))
+
+        def step(state, chained, x):
+            return bjit(mimi_params, params, state, chained, x)
+
+        def init_state():
+            return pipe.init_state(args.batch, lm_params=params)
+
+        bytes_per_frame = (honest.tree_bytes(params) +
+                           honest.tree_bytes(mimi_params))
+        inputs = audio_ins
     else:
-        state = init_gen_state(cfg, args.batch, params=params)
         n_other = cfg.n_q - cfg.dep_q
-        rng_in = np.random.default_rng(0)
-        others = [jnp.asarray(rng_in.integers(
+        inputs = [jnp.asarray(rng_in.integers(
             0, cfg.card, (args.batch, n_other)).astype(np.int32))
-            for _ in range(8)]
-        nf = [0]
-        lm_step = jax.jit(
-            lambda p, s, o: lm_gen_step(cfg, p, s, other_audio=o,
-                                        temp=0.8, temp_text=0.7,
-                                        top_k=250, top_k_text=25),
-            donate_argnums=(1,))
+            for _ in range(n_inputs)]
 
-        def one_frame(state):
-            o = others[nf[0] % 8]
-            nf[0] += 1
-            out, state = lm_step(params, state, o)
-            jax.block_until_ready(out["audio"])
-            return state
+        def bfn(lm_params, state, chained, o):
+            out, state = lm_gen_step(cfg, lm_params, state, other_audio=o,
+                                     temp=0.8, temp_text=0.7,
+                                     top_k=250, top_k_text=25)
+            dg = (out["audio"].astype(jnp.float32).sum() +
+                  out["text"].astype(jnp.float32).sum())
+            return state, chained * jnp.float32(0.999) + dg, dg
 
-        def one_frame_async(state):
-            o = others[nf[0] % 8]
-            nf[0] += 1
-            _, state = lm_step(params, state, o)
-            return state
+        bjit = jax.jit(bfn, donate_argnums=(1,))
 
-    # warmup / compile — if the fused-kernel path fails to compile on
-    # this backend, fall back to the pure-XLA path rather than dying
+        def step(state, chained, x):
+            return bjit(params, state, chained, x)
+
+        def init_state():
+            return init_gen_state(cfg, args.batch, params=params)
+
+        bytes_per_frame = honest.tree_bytes(params)
+
+    # compile probe — if the fused-kernel path fails to compile on this
+    # backend, fall back to the pure-XLA path rather than dying
     try:
-        state = one_frame(state)
+        s0 = init_state()
+        s0, c0, d0 = step(s0, jnp.float32(0.0), inputs[-1])
+        jax.block_until_ready(d0)
+        del s0, c0, d0
     except Exception as e:
         if not args.pallas:
             raise
@@ -174,42 +208,24 @@ def main():
         enable_pallas(False)
         args.pallas = False
         jax.clear_caches()
-        # re-init: the megakernel KV layout only runs under pallas
-        if use_mimi:
-            state = pipe.init_state(args.batch, lm_params=params)
-        else:
-            state = init_gen_state(cfg, args.batch, params=params)
-        state = one_frame(state)
-    for _ in range(args.warmup - 1):
-        state = one_frame(state)
+        s0 = init_state()
+        s0, c0, d0 = step(s0, jnp.float32(0.0), inputs[-1])
+        jax.block_until_ready(d0)
+        del s0, c0, d0
 
-    lat = []
     prof = None
     if args.profile:
         prof = jax.profiler.trace(args.profile)
         prof.__enter__()
-    for _ in range(args.frames):
-        t0 = time.perf_counter()
-        state = one_frame(state)
-        lat.append(time.perf_counter() - t0)
+    rep = honest.run(step, init_state, inputs, frames=args.frames,
+                     warmup=args.warmup, bytes_per_frame=bytes_per_frame,
+                     windowed_frames=args.windowed_frames,
+                     validate=not args.no_validate,
+                     window=args.window, verbose=True)
     if prof is not None:
         prof.__exit__(None, None, None)
 
-    # throughput phase: enqueue the whole run and block once at the end
-    # (the reference's --bench is a tight wall-clock loop too,
-    # moshi-sts.cpp:770-806; frame n+1 depends on frame n's state so this
-    # measures the true sequential frame rate with dispatch overlapped,
-    # which is what a production host-local deployment sees)
-    t0 = time.perf_counter()
-    for _ in range(args.frames):
-        state = one_frame_async(state)
-    jax.block_until_ready(state)
-    thr_ms = (time.perf_counter() - t0) * 1000 / args.frames
-
-    p50 = float(np.percentile(lat, 50) * 1000)
-    # headline fps from the pipelined wall-clock (reference methodology);
-    # p50_ms reports the per-frame-blocked latency incl. tunnel RPC
-    fps = 1000.0 / thr_ms
+    fps = 1000.0 / rep.frame_ms
     baseline = 19.49  # RTX 2070 sts-q4_k fps (BASELINE.md row 1)
     result = {
         "metric": "sts_frames_per_sec_7b_q4k" if not args.small
@@ -217,13 +233,24 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
-        "p50_ms": round(p50, 2),
-        "pipelined_ms": round(thr_ms, 2),
+        "p50_ms": round(rep.p50_ms, 2),
+        "p90_ms": round(rep.p90_ms, 2),
+        "frame_ms": round(rep.frame_ms, 2),
         "realtime_x": round(fps / 12.5, 2),
         "device": str(jax.devices()[0]),
         "fmt": args.fmt,
         "pallas": args.pallas,
+        "valid": rep.valid,
+        "floor_ms": round(rep.floor_ms, 3),
+        "digest": rep.digest,
+        "checks": rep.checks,
     }
+    import math
+    if not math.isnan(rep.windowed_ms):
+        result["windowed_ms"] = round(rep.windowed_ms, 2)
+        result["window"] = args.window
+    if args.no_mimi:
+        result["metric"] += "_lm_only"
     if args.i8_storage:
         result["i8_storage"] = True
     if args.batch > 1:

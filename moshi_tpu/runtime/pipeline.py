@@ -65,6 +65,7 @@ class STSPipeline:
                     "text": out["text"], "valid": out["valid"],
                     "audio_tokens": out["audio"]}, new_state
 
+        self.frame_fn = frame  # unjitted: composable (bench digest harness)
         self._frame = jax.jit(frame, donate_argnums=(2,))
 
     def init_state(self, batch: int, key=None, lm_params=None):

@@ -123,7 +123,7 @@ def main(argv=None):
         from moshi_tpu.runtime.loader import _Source
         from moshi_tpu.models.tts import load_conditioners
         from moshi_tpu.tools.common import resolve_model_file
-        _, _, wavs = load_voice_file(args.voice)
+        _, _, wavs = load_voice_file(args.voice, lm_cfg)
         assert wavs is not None, f"{args.voice}: no voice.speaker_wavs"
         src = _Source(str(resolve_model_file(config.moshi_name,
                                              args.model_dir)))

@@ -70,7 +70,7 @@ def main(argv=None):
     voice_codes = None
     if args.voice:
         if args.voice.endswith(".safetensors"):
-            voice_emb, voice_cache, _ = load_voice_file(args.voice)
+            voice_emb, voice_cache, _ = load_voice_file(args.voice, lm_cfg)
         else:
             audio = read_audio_24k(args.voice)
             n = len(audio) // FRAME_SIZE

@@ -282,3 +282,35 @@ def test_voice_file_gguf(tmp_path, rng):
     np.testing.assert_array_equal(e, emb)
     np.testing.assert_array_equal(c, cache.T)  # transposed to [CT, K]
     assert wavs is None
+
+
+def test_voice_cache_orientation_from_config(tmp_path, rng):
+    # VERDICT r3 #7: a voice whose cache has CT >= K must not mis-orient
+    # when the model config is given — K = cfg.num_codebooks decides.
+    from moshi_tpu.models.lm import LMConfig
+    from moshi_tpu.models.personaplex import load_voice_file
+    cfg = LMConfig(dim=32, num_heads=2, num_layers=1, hidden_dim=64,
+                   context=16, card=64, n_q=8, dep_q=4, text_card=128,
+                   delays=(0,) * 9)
+    k = cfg.num_codebooks  # 9
+    ct = 12                # CT > K: heuristic would flip a [K, CT] store
+
+    def write(cache):
+        path = str(tmp_path / f"v{cache.shape}.gguf")
+        w = GGUFWriter()
+        w.add_tensor("voice.cache", cache)
+        w.write(path)
+        return path
+
+    stored_kct = rng.integers(0, 100, (k, ct), dtype=np.int32)
+    _, c, _ = load_voice_file(write(stored_kct), cfg)
+    np.testing.assert_array_equal(c, stored_kct.T)
+
+    stored_ctk = rng.integers(0, 100, (ct, k), dtype=np.int32)
+    _, c, _ = load_voice_file(write(stored_ctk), cfg)
+    np.testing.assert_array_equal(c, stored_ctk)
+
+    bad = rng.integers(0, 100, (ct, k + 1), dtype=np.int32)
+    import pytest
+    with pytest.raises(ValueError, match="voice.cache shape"):
+        load_voice_file(write(bad), cfg)
