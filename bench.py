@@ -236,6 +236,10 @@ def main():
         "p50_ms": round(rep.p50_ms, 2),
         "p90_ms": round(rep.p90_ms, 2),
         "frame_ms": round(rep.frame_ms, 2),
+        "steady_ms": round(rep.steady_ms, 2),
+        "max_ms": round(rep.max_ms, 1),
+        "stalls": rep.stalls,
+        "stall_s": round(rep.stall_s, 1),
         "realtime_x": round(fps / 12.5, 2),
         "device": str(jax.devices()[0]),
         "fmt": args.fmt,

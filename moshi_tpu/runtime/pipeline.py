@@ -234,6 +234,11 @@ class TTSPipeline:
         from moshi_tpu.models.device_machine import (device_machine_step,
                                                      machine_device_config)
         dm = machine_device_config(machine)
+        # idempotent per machine config: rebuilding the jit wrapper for
+        # every generate() call would re-trace inside callers' timed
+        # windows (advisor r3)
+        if self._fused is not None and self._fused_dm == dm:
+            return dm
 
         def fused(mimi_params, lm_params, state, mstate, script,
                   forced_text, forced_audio, cond, ckv, replace):
@@ -254,6 +259,7 @@ class TTSPipeline:
 
         self._fused = jax.jit(fused, static_argnums=(9,),
                               donate_argnums=(2, 3))
+        self._fused_dm = dm
         return dm
 
     def step_device(self, mimi_params, lm_params, state, mstate, script,

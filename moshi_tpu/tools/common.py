@@ -19,6 +19,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeated tool runs skip recompiles (the
+# remote-compile link makes cold 7B compiles cost tens of minutes);
+# same default as bench.py
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def model_cache_dir() -> Path:
     env = os.environ.get("MODEL_CACHE")

@@ -28,6 +28,12 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="play.wav")
     ap.add_argument("--echo", action="store_true",
                     help="input is audio; run encode->decode round trip")
+    ap.add_argument("--realtime-sim", action="store_true",
+                    help="(with --echo) drive the round trip through "
+                         "the async frame-FIFO driver (the mic->codec->"
+                         "speakers loop structure of mimi-echo.cpp) "
+                         "with latency/drop accounting")
+    ap.add_argument("--sim-speed", type=float, default=1.0)
     ap.add_argument("-n", "--n-q", type=int, default=32)
     ap.add_argument("-m", "--mimi-file",
                     default="tokenizer-e351c8d8-checkpoint125.safetensors")
@@ -42,6 +48,27 @@ def main(argv=None):
         audio = audio[: n * FRAME_SIZE]
         model, params = load_mimi(args, n_q=args.n_q)
         streamer = MimiStreamer(model, params)
+        if args.realtime_sim:
+            import json
+            from moshi_tpu.io.driver import (CaptureDriver, FrameFIFO,
+                                             PlaybackSink, file_source,
+                                             realtime_loop)
+
+            def step(frame_np):
+                return streamer.decode(streamer.encode(frame_np[None]))[0]
+
+            step(audio[:FRAME_SIZE])            # compile outside pacing
+            fifo = FrameFIFO(FRAME_SIZE, depth=3)
+            sink = PlaybackSink()
+            cap = CaptureDriver(file_source(audio[FRAME_SIZE:]), fifo,
+                                pace=0.08 / max(args.sim_speed, 1e-6)
+                                ).start()
+            rep = realtime_loop(fifo, step, sink)
+            cap.join(1.0)
+            save_wav(args.output, sink.audio(), SAMPLE_RATE)
+            print(json.dumps({"metric": "mimi_echo_realtime_sim", **rep,
+                              "sim_speed": args.sim_speed}))
+            return 0
         out = []
         t0 = None
         for i in range(n):

@@ -44,6 +44,11 @@ def main(argv=None):
                          "(cross-attention models) or a speaker wav "
                          "(prefix models)")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--interactive", action="store_true",
+                    help="feed-while-generating: a stdin reader thread "
+                         "queues words into the live StateMachine as "
+                         "lines arrive (moshi-tts.cpp:51-86); generation "
+                         "ends after stdin EOF + final padding")
     ap.add_argument("--host-fsm", action="store_true",
                     help="per-frame host StateMachine (the reference's "
                          "on_text-hook structure, one D->H sync per "
@@ -83,7 +88,9 @@ def main(argv=None):
     mimi, mimi_params = load_mimi(args, n_q=max(lm_cfg.dep_q, 1))
     tok = load_tokenizer(args, config) or _FakeTokenizer()
 
-    if args.text:
+    if args.interactive:
+        script = []                      # entries arrive from the thread
+    elif args.text:
         script = [" ".join(args.text)]
     elif args.input:
         script = open(args.input).read().splitlines()
@@ -191,9 +198,14 @@ def main(argv=None):
         return wav_parts, frames, max(frames - 1, 1) / dt
 
     def generate_device():
-        """Fused path: StateMachine in-jit (ONE launch per frame), frames
-        dispatch pipelined; the host polls end_step with a lag instead of
-        syncing every frame (device_machine.py)."""
+        """Fused path: StateMachine in-jit (ONE launch per frame;
+        device_machine.py).  The host consumes end_step every frame —
+        a 4-byte D->H fetch.  Per-frame sync is deliberate: it is both
+        the honest methodology (work is provably consumed) and the
+        fastest dispatch mode on this runtime (dispatch-ahead degrades
+        super-linearly with queue depth; utils/honest.py).  Still 1
+        launch + 1 fetch per frame vs the host-FSM path's 2 launches +
+        1 fetch."""
         import jax.numpy as _jnp
         from moshi_tpu.models.device_machine import (compile_script,
                                                      init_device_state)
@@ -205,10 +217,9 @@ def main(argv=None):
         ap_q = list(audio_prefixes)
         outs = []
         t0 = None
-        total = None
-        POLL = 12            # end_step poll lag (frames); 1 RPC per POLL
         f = 0
-        while f < args.max_frames and (total is None or f < total):
+        end = -1
+        while f < args.max_frames:
             replace = f < lm_cfg.delay_steps
             forced_text = (_jnp.asarray([tp.pop(0)], _jnp.int32)
                            if tp else None)
@@ -218,20 +229,15 @@ def main(argv=None):
                 condition_sum=condition_sum, cross_kv=cross_kv,
                 depformer_replace=replace)
             outs.append(out)
+            end = int(np.asarray(out["end_step"])[0])    # per-frame fetch
             f += 1
             if f == 1:
-                import jax as _jax
-                _jax.block_until_ready(out["end_step"])
-                t0 = time.perf_counter()
-            if total is None and f > POLL and f % POLL == 0:
-                end = int(np.asarray(outs[f - POLL]["end_step"])[0])
-                if end >= 0:
-                    total = min(args.max_frames,
-                                end + lm_cfg.delay_steps + final_padding)
-        import jax as _jax
-        frames = min(f, total) if total is not None else f
-        outs = outs[:frames]
-        _jax.block_until_ready(outs[-1]["end_step"])
+                t0 = time.perf_counter()   # frame 0 = compile, excluded
+            if end >= 0 and f >= min(args.max_frames,
+                                     end + lm_cfg.delay_steps +
+                                     final_padding):
+                break
+        frames = f
         dt = time.perf_counter() - t0 if t0 else 1.0
         wav_parts = [np.asarray(o["audio_out"])[0]
                      for i, o in enumerate(outs)
@@ -239,7 +245,62 @@ def main(argv=None):
                      and bool(np.asarray(o["valid"])[0])]
         return wav_parts, frames, max(frames - 1, 1) / dt
 
-    generate = generate_host if args.host_fsm else generate_device
+    def generate_interactive():
+        """moshi-tts.cpp:51-86 analog: a reader thread tokenizes stdin
+        lines into Entries and appends them to the LIVE machine state
+        while the frame loop runs (host-FSM path — the word queue must
+        be host-mutable).  New words clear end_step, reviving a stream
+        that ran dry; generation stops after EOF once the machine drains
+        plus final padding."""
+        import sys
+        import threading
+        ms = machine.new_state([])
+        eof = threading.Event()
+
+        def reader():
+            for line in sys.stdin:
+                line = line.strip()
+                if not line:
+                    continue
+                for e in script_to_entries(tok, ids, 12.5, [line],
+                                           multi_speaker=False,
+                                           padding_between=1):
+                    ms.entries.append(e)
+                ms.end_step = -1          # new words revive the stream
+            eof.set()
+
+        threading.Thread(target=reader, daemon=True).start()
+        state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
+        tp = list(text_prefixes)
+        ap_q = list(audio_prefixes)
+        wav_parts = []
+        t0 = None
+        frames = offset = 0
+        while frames < args.max_frames:
+            replace = offset < lm_cfg.delay_steps
+            forced_text = (int(tp.pop(0)) if tp else None)
+            out, state = pipe.step(mimi_params, lm_params, state,
+                                   machine=machine, machine_state=ms,
+                                   offset=offset, forced_text=forced_text,
+                                   forced_audio=_forced_audio(ap_q),
+                                   condition_sum=condition_sum,
+                                   cross_kv=cross_kv,
+                                   depformer_replace=replace)
+            offset += 1
+            frames += 1
+            if bool(np.asarray(out["valid"])[0]) and not replace:
+                wav_parts.append(np.asarray(out["audio_out"])[0])
+            if frames == 1:
+                t0 = time.perf_counter()
+            end = ms.end_step
+            if eof.is_set() and end >= 0 and ms.is_empty() and \
+                    offset >= end + lm_cfg.delay_steps + final_padding:
+                break
+        dt = time.perf_counter() - t0 if t0 else 1.0
+        return wav_parts, frames, max(frames - 1, 1) / dt
+
+    generate = (generate_interactive if args.interactive
+                else generate_host if args.host_fsm else generate_device)
     if args.bench:
         generate()          # warm both depformer_replace variants
     t0 = time.perf_counter()

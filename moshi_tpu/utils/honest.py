@@ -73,6 +73,10 @@ class Report:
     floor_ms: float
     valid: bool
     checks: dict = field(default_factory=dict)
+    max_ms: float = float("nan")
+    stalls: int = 0          # frames stalled > max(3*p50, p50+50ms)
+    stall_s: float = 0.0     # total wall clock lost to stalls
+    steady_ms: float = float("nan")   # frame_ms excluding stall frames
 
 
 def run(step, init_state, inputs, *, frames: int, warmup: int,
@@ -123,9 +127,21 @@ def run(step, init_state, inputs, *, frames: int, warmup: int,
         per_frame.append(float(np.asarray(dg)))     # D->H, 4 bytes
         lat.append(time.perf_counter() - ta)
     frame_ms = (time.perf_counter() - t0) * 1000.0 / frames
-    p50 = float(np.percentile(lat, 50) * 1000)
-    p90 = float(np.percentile(lat, 90) * 1000)
-    say(f"main loop {frame_ms:.2f} ms/frame (p50 {p50:.2f})")
+    lat_ms = np.asarray(lat) * 1000.0
+    p50 = float(np.percentile(lat_ms, 50))
+    p90 = float(np.percentile(lat_ms, 90))
+    # stall accounting: this rig's runtime occasionally freezes a call
+    # for tens of seconds (tunnel hiccup); report them separately so the
+    # steady-state rate and the stall pathology are both visible
+    stall_mask = lat_ms > max(3 * p50, p50 + 50.0)
+    stalls = int(stall_mask.sum())
+    stall_s = float(lat_ms[stall_mask].sum() / 1e3)
+    say(f"main loop {frame_ms:.2f} ms/frame (p50 {p50:.2f}, "
+        f"max {lat_ms.max():.0f} ms, {stalls} stalls totalling "
+        f"{stall_s:.1f}s)")
+    if stalls:
+        say("stall frames: " + ", ".join(
+            f"#{i}={lat_ms[i]:.0f}ms" for i in np.nonzero(stall_mask)[0]))
     pf = np.asarray(per_frame, dtype=np.float64)
 
     # ---- secondary: windowed dispatch-ahead (sync = chained-digest
@@ -170,7 +186,12 @@ def run(step, init_state, inputs, *, frames: int, warmup: int,
         checks["deterministic"] = bool(d1 == d2)
         checks["input_dependent"] = bool(d1 != d3)
 
+    steady = lat_ms[~stall_mask]
     return Report(frames=frames, frame_ms=frame_ms, p50_ms=p50,
                   p90_ms=p90, windowed_ms=windowed_ms,
                   digest=final_digest, floor_ms=floor_ms,
-                  valid=all(checks.values()), checks=checks)
+                  valid=all(checks.values()), checks=checks,
+                  max_ms=float(lat_ms.max()), stalls=stalls,
+                  stall_s=stall_s,
+                  steady_ms=float(steady.mean()) if steady.size
+                  else float("nan"))
