@@ -194,7 +194,7 @@ def main():
     try:
         s0 = init_state()
         s0, c0, d0 = step(s0, jnp.float32(0.0), inputs[-1])
-        jax.block_until_ready(d0)
+        float(np.asarray(d0))   # fetch: block_until_ready can ack early
         del s0, c0, d0
     except Exception as e:
         if not args.pallas:

@@ -250,8 +250,15 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
     cos_sin = shared["cos_sin"]
     k_stack, v_stack = state["k"], state["v"]
 
+    if tap:
+        from moshi_tpu.utils.capture import capture
+
     def body(hcur, l):
+        if tap:  # per-op taps for replay-style localization (replay.h)
+            hcur = capture(f"{tap}/x_in", hcur)
         qkv = qmatmul_pallas_stacked(hcur, in_w, l, alpha=n1)  # [B,3dl]
+        if tap:
+            qkv = capture(f"{tap}/qkv", qkv)
         if cos_sin is not None:
             qk = qkv[:, : 2 * dl].reshape(b, 1, 2 * h, hd)
             qk = apply_rope(qk, cos_sin=cos_sin)
@@ -264,23 +271,29 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
             q.astype(jnp.bfloat16), k_stack, v_stack,
             k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
             offset, l, cap=cfg.mha.cap, context=cfg.context)
-        o = qmatmul_pallas_stacked(
-            attn.reshape(b, dl).astype(jnp.bfloat16), out_w, l)
+        attn = attn.reshape(b, dl).astype(jnp.bfloat16)
+        if tap:
+            attn = capture(f"{tap}/attn_ctx", attn)
+        o = qmatmul_pallas_stacked(attn, out_w, l)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
+        if tap:
+            o = capture(f"{tap}/attn_out", o)
         hcur = hcur + o.astype(hcur.dtype)
+        if tap:
+            hcur = capture(f"{tap}/ffn_in", hcur)
         g = glu_matmul_pallas_stacked(hcur, glu_w, l, alpha=n2)
         if g is None:  # unsupported GLU layout: two-call fallback
             gh = qmatmul_pallas_stacked(hcur, glu_w, l, alpha=n2)
             gate, value = jnp.split(gh, 2, axis=-1)
             g = jax.nn.silu(gate) * value
+        if tap:
+            g = capture(f"{tap}/glu_out", g)
         ffn = qmatmul_pallas_stacked(g.astype(jnp.bfloat16), lout_w, l)
         if tp_axis is not None:
             ffn = jax.lax.psum(ffn, tp_axis)
         hcur = hcur + ffn.astype(hcur.dtype)
         if tap:
-            from moshi_tpu.utils.capture import capture
-            o = capture(f"{tap}/attn_out", o)
             hcur = capture(f"{tap}/layer_out", hcur)
         return hcur, (k_new.astype(k_stack.dtype),
                       v_new.astype(v_stack.dtype))

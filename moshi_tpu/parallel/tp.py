@@ -191,6 +191,46 @@ def tp_specs(tree) -> dict:
     return walk(tree, "")
 
 
+def _pad_gating_pair(lin_in: QuantTensor, lin_out: QuantTensor, s: int):
+    """Zero-pad a (linear_in [2H, D], linear_out [O, H]) gating pair so
+    H/s is a planar-shardable width (multiple of QK, >= 2*QK).
+
+    Mathematically exact: the padded gate/value channels are all-zero,
+    so silu(0)*0 contributes nothing, and linear_out's matching padded
+    columns are zero.  Needed for e.g. the 7B depformer FFN (hidden
+    4224: 4224/8 = 528 is not a 32-multiple — caught by the
+    flagship-geometry dryrun)."""
+    h = lin_out.shape[1]
+    w = h // s
+    if w % QK == 0 and w >= 2 * QK and h % s == 0:
+        return lin_in, lin_out            # already shardable
+    w_pad = max(2 * QK, ((h + s - 1) // s + QK - 1) // QK * QK)
+    h_pad = w_pad * s
+
+    def requant(deq, fmt):
+        i = deq.shape[-1]
+        f = fmt if i % (QK_K if fmt == "q4_k" else QK) == 0 else "q4_0"
+        lead = deq.shape[:-2]
+        if not lead:
+            return quantize(deq, f)
+        flat = deq.reshape((-1,) + deq.shape[-2:])
+        qts = [quantize(np.ascontiguousarray(flat[j]), f)
+               for j in range(flat.shape[0])]
+        st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
+        return st
+
+    # linear_in: pad gate block and value block each from H to H_pad rows
+    din = np.asarray(dequantize(lin_in, jnp.float32))
+    gate, value = din[..., :h, :], din[..., h:2 * h, :]
+    zrow = np.zeros(din.shape[:-2] + (h_pad - h, din.shape[-1]), din.dtype)
+    din_p = np.concatenate([gate, zrow, value, zrow], axis=-2)
+    # linear_out: pad columns from H to H_pad
+    dout = np.asarray(dequantize(lin_out, jnp.float32))
+    zcol = np.zeros(dout.shape[:-1] + (h_pad - h,), dout.dtype)
+    dout_p = np.concatenate([dout, zcol], axis=-1)
+    return requant(din_p, lin_in.fmt), requant(dout_p, lin_out.fmt)
+
+
 def tp_shard_lm_params(params, cfg, mesh: Mesh):
     """Transform + device_put an LM param tree into the TP layout."""
     s = mesh.shape["model"]
@@ -209,6 +249,16 @@ def tp_shard_lm_params(params, cfg, mesh: Mesh):
 
     def walk(node, path):
         if isinstance(node, dict):
+            if ("linear_in" in node and "linear_out" in node
+                    and isinstance(node["linear_in"].get("weight"),
+                                   QuantTensor)
+                    and isinstance(node["linear_out"].get("weight"),
+                                   QuantTensor)):
+                li, lo = _pad_gating_pair(node["linear_in"]["weight"],
+                                          node["linear_out"]["weight"], s)
+                node = dict(node)
+                node["linear_in"] = dict(node["linear_in"], weight=li)
+                node["linear_out"] = dict(node["linear_out"], weight=lo)
             return {k: walk(v, f"{path}.{k}") for k, v in node.items()}
         if isinstance(node, QuantTensor):
             mode = _mode_for(path)

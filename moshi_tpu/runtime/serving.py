@@ -209,6 +209,8 @@ class TTSSessionPool:
         session id -> {audio_out [frame_samples] f32, valid, done}.
         `done` slots auto-detach (their audio tail has fully drained:
         offset >= end_step + delay_steps + final_padding)."""
+        if not self._by_session:
+            return {}    # idle pool: skip the device launch entirely
         out, self.state, self.mstate = self.pipe.step_device(
             self.mimi_params, self.lm_params, self.state, self.mstate,
             self.script)

