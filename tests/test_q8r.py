@@ -182,3 +182,13 @@ def test_q8r_lm_divergence_vs_float_with_outliers():
     # (ties near the argmax may flip one)
     agree = sum(a == b for a, b in zip(ref_toks, q_toks))
     assert agree >= len(ref_toks) - 1, (ref_toks, q_toks)
+
+
+def test_serving_format_policy():
+    from moshi_tpu.quant.policy import serving_format
+    assert serving_format("q4_k", batch=1) == "q4_k"
+    assert serving_format("q4_k", batch=2) == "q4_k"
+    assert serving_format("q4_k", batch=4) == "q8_r"
+    assert serving_format("q4_k", model_sharded=True) == "q8_r"
+    assert serving_format("q8_r", batch=1) == "q8_r"
+    assert serving_format("none", batch=8) == "none"
