@@ -37,10 +37,11 @@ def main():
                     help="tiny config (CPU smoke test)")
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--windowed-frames", type=int, default=0,
+    ap.add_argument("--windowed-frames", type=int, default=16,
                     help="frames for the secondary dispatch-ahead phase "
-                         "(diagnostic; dispatch-ahead is pathological "
-                         "on this runtime)")
+                         "(sync = chained-digest fetch every --window "
+                         "frames; amortizes the ~20 ms tunnel RPC and "
+                         "models host-local production dispatch)")
     ap.add_argument("--no-mimi", action="store_true",
                     help="LM step only")
     ap.add_argument("--fmt", default="q4_k",
