@@ -66,19 +66,20 @@ def serving_format(requested: str, batch: int = 1,
                    model_sharded: bool = False) -> str:
     """Pick the weight format for a serving deployment (VERDICT r3 #8).
 
-    q4_k + the fused pallas kernels are the B<=2 single-chip fast path
-    (the decode kernels are shaped for M<=2).  For larger session
-    batches the fused kernels fall back to XLA dequant, where q8_r
-    (per-row w8a8, plain XLA int8 dot) both streams half the bytes of a
-    bf16 dequant product and partitions under GSPMD — so batched or
-    GSPMD-model-sharded serving flips to q8_r unless the caller pinned a
-    format explicitly.  Honest A/B numbers: BENCH_NOTES.md round 4
-    (q8_r-vs-q4_k at B=1 and B=4).
+    Measured policy (BENCH_NOTES.md round 4, digest-validated):
+      * single chip, any batch: q4_k + the fused pallas kernels win
+        (B=1 LM-only p50 43.6 ms vs q8_r's 52.0; q8_r's int8 weights are
+        2x the packed-4-bit bytes, which also OOMs B=4 full-STS on a
+        16 GB chip: 19.5 GB needed);
+      * GSPMD model-sharded mesh: q8_r — GSPMD cannot partition the
+        pallas custom calls (parallel/tp.py docstring), and q8_r's plain
+        XLA int8 dot both partitions cleanly and halves bytes vs a bf16
+        dequant product.  (Explicit shard_map TP keeps q4_k.)
     """
     if requested not in ("q4_k", "q4_0", "q8_0", "q8_r"):
         return requested
     if requested == "q8_r":
         return requested
-    if model_sharded or batch > 2:
+    if model_sharded:
         return "q8_r"
     return requested

@@ -186,9 +186,11 @@ def test_q8r_lm_divergence_vs_float_with_outliers():
 
 def test_serving_format_policy():
     from moshi_tpu.quant.policy import serving_format
+    # single chip: q4_k pallas wins at every batch (q8_r 2x weight
+    # bytes loses at B=1 and OOMs batched full-STS — BENCH_NOTES r4)
     assert serving_format("q4_k", batch=1) == "q4_k"
-    assert serving_format("q4_k", batch=2) == "q4_k"
-    assert serving_format("q4_k", batch=4) == "q8_r"
+    assert serving_format("q4_k", batch=4) == "q4_k"
+    # GSPMD model sharding: pallas calls cannot partition -> q8_r
     assert serving_format("q4_k", model_sharded=True) == "q8_r"
     assert serving_format("q8_r", batch=1) == "q8_r"
     assert serving_format("none", batch=8) == "none"
