@@ -84,20 +84,25 @@ def main():
           for i in range(args.calls + 5)]
 
     @jax.jit
-    def stream(m, v):
-        # L1 distance: cannot be rewritten into cached per-M statistics
-        return jnp.sum(jnp.abs(m.astype(jnp.float32) - v.astype(
-            jnp.float32)[None, :]))
+    def stream(m0, m1, m2, v):
+        # L1 distance: cannot be rewritten into cached per-M statistics.
+        # All three distinct buffers stream per call so the net time
+        # over the RPC floor is several ms (SNR: a single 2 GB read is
+        # ~1.4 ms against a ~29 ms floor)
+        f = v.astype(jnp.float32)[None, :]
+        return (jnp.sum(jnp.abs(m0.astype(jnp.float32) - f)) +
+                jnp.sum(jnp.abs(m1.astype(jnp.float32) - f)) +
+                jnp.sum(jnp.abs(m2.astype(jnp.float32) - f)))
 
     i = [0]
 
     def one():
         j = i[0]
         i[0] += 1
-        return _fetch(stream(bufs[j % nbuf], vs[j]))
+        return _fetch(stream(*bufs, vs[j]))
 
     raw_ms, _ = _p50(one, args.calls)
-    nbytes = rows * cols * 2
+    nbytes = rows * cols * 2 * nbuf
     raw_rate = nbytes / ((raw_ms - rpc_ms) / 1e3) if raw_ms > rpc_ms \
         else float("nan")
     out["raw_probe_ms"] = round(raw_ms, 2)
