@@ -72,6 +72,11 @@ def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("-g", "--use-cache", action="store_true",
                     help="cache the quantized model to disk and reload "
                          "from it (the reference's GGUF-cache flow)")
+    ap.add_argument("--window", type=int, default=1,
+                    help="host-sync every N frames (1 = reference-style "
+                         "per-frame consumption; N>1 amortizes the "
+                         "remote-dispatch RPC, modeling host-local "
+                         "production dispatch)")
 
 
 def load_mimi(args, n_q: int = 32):

@@ -219,6 +219,7 @@ def main(argv=None):
         t0 = None
         f = 0
         end = -1
+        win = max(1, args.window)
         while f < args.max_frames:
             replace = f < lm_cfg.delay_steps
             forced_text = (_jnp.asarray([tp.pop(0)], _jnp.int32)
@@ -229,7 +230,10 @@ def main(argv=None):
                 condition_sum=condition_sum, cross_kv=cross_kv,
                 depformer_replace=replace)
             outs.append(out)
-            end = int(np.asarray(out["end_step"])[0])    # per-frame fetch
+            if f == 0 or (f + 1) % win == 0:
+                # end_step consume: every frame at --window 1, every N
+                # frames otherwise (bounded dispatch + amortized RPC)
+                end = int(np.asarray(out["end_step"])[0])
             f += 1
             if f == 1:
                 t0 = time.perf_counter()   # frame 0 = compile, excluded
@@ -237,7 +241,11 @@ def main(argv=None):
                                      end + lm_cfg.delay_steps +
                                      final_padding):
                 break
-        frames = f
+        end = int(np.asarray(outs[-1]["end_step"])[0])
+        frames = (min(f, end + lm_cfg.delay_steps + final_padding)
+                  if end >= 0 else f)
+        outs = outs[:frames]
+        np.asarray(outs[-1]["end_step"])
         dt = time.perf_counter() - t0 if t0 else 1.0
         wav_parts = [np.asarray(o["audio_out"])[0]
                      for i, o in enumerate(outs)
