@@ -18,9 +18,11 @@ host every frame (the reference's own per-frame token consumption; an
 ack cannot fake a D->H byte transfer); untimed validation runs prove the
 digest is a deterministic function of the inputs; and a physics floor
 (weight bytes / 6 TB/s ceiling) marks impossible timings as
-"valid": false instead of reporting them.  Per-frame sync is also the
-FASTEST dispatch mode on this runtime — dispatch-ahead degrades
-super-linearly with queue depth (see moshi_tpu/utils/honest.py).
+"valid": false instead of reporting them.  The main loop syncs every
+frame (the reference-comparable methodology; it pays this rig's
+26-29 ms tunnel RPC per frame); a secondary windowed phase syncs every
+--window frames, amortizing the RPC — the production-shaped number
+(see moshi_tpu/utils/honest.py).
 
 Usage: python bench.py [--small] [--frames N] [--no-mimi]
 """
@@ -40,7 +42,7 @@ def main():
     ap.add_argument("--windowed-frames", type=int, default=16,
                     help="frames for the secondary dispatch-ahead phase "
                          "(sync = chained-digest fetch every --window "
-                         "frames; amortizes the ~20 ms tunnel RPC and "
+                         "frames; amortizes the 26-29 ms tunnel RPC and "
                          "models host-local production dispatch)")
     ap.add_argument("--no-mimi", action="store_true",
                     help="LM step only")
@@ -62,10 +64,9 @@ def main():
                     help="pure-XLA dequant path")
     ap.add_argument("--no-validate", action="store_true",
                     help="skip the untimed digest-reproducibility runs")
-    ap.add_argument("--window", type=int, default=4,
+    ap.add_argument("--window", type=int, default=8,
                     help="dispatch-ahead depth for the secondary "
-                         "windowed phase (deep queues are pathological "
-                         "on this runtime)")
+                         "windowed phase")
     ap.add_argument("--profile", default=None,
                     help="write a jax profiler trace to this directory")
     args = ap.parse_args()

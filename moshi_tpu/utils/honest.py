@@ -15,12 +15,13 @@ module restores that property for the TPU pipeline:
    scalar digest of its outputs and folds it into a carried accumulator;
    the MAIN timed loop fetches the per-frame digest to host every frame
    (a D->H fetch cannot be acked early), mirroring the reference's
-   per-frame token readback.  Round-4 hardware measurement showed this
-   is also the FASTEST dispatch mode on this runtime: any dispatch-ahead
-   is pathological (depth 1 = 46 ms/frame, depth 4 = 120, depth 8 = 200,
-   depth 50 = 2740), so per-frame sync is both the honest and the
-   production-shaped loop.  A secondary windowed phase measures the
-   dispatch-ahead regime for diagnostics.
+   per-frame token readback — the apples-to-apples loop, which on this
+   rig pays a 26-29 ms tunnel RPC per frame.  A secondary WINDOWED
+   phase syncs by fetching the chained digest every `window` frames
+   (dataflow forces every prior frame, so it stays honest) — it
+   amortizes the RPC and models host-local production dispatch
+   (measured curve, 7B STS: sync every 1/4/8/16 frames = 46/24/21/19.5
+   ms per frame).
 3. **Validation runs** (untimed): the same compiled step from a fresh
    state twice with identical inputs must reproduce the final chained
    digest bit-for-bit, and a third run with different inputs must change
@@ -151,8 +152,8 @@ def run(step, init_state, inputs, *, frames: int, warmup: int,
 
     # ---- secondary: windowed dispatch-ahead (sync = chained-digest
     # fetch every `window` frames; by dataflow it forces every prior
-    # frame).  Diagnostic: on a healthy runtime this should approach
-    # device-compute time; here dispatch-ahead is pathological. ----
+    # frame) — amortizes the per-RPC tunnel floor; approaches pure
+    # device-compute time as the window grows ----
     windowed_ms = float("nan")
     if windowed_frames:
         t0 = time.perf_counter()
