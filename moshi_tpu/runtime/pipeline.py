@@ -26,6 +26,18 @@ from moshi_tpu.models.lm import LMConfig, init_gen_state, lm_gen_step
 from moshi_tpu.models.mimi import MimiModel
 
 
+def _chunk_lengths(t: int, chunks):
+    """Greedy decomposition of t into the fixed scan sizes `chunks`
+    (scan length is a static shape: arbitrary totals compile at most
+    len(chunks) programs — same trick as personaplex priming)."""
+    out = []
+    for c in chunks:
+        while t >= c:
+            out.append(c)
+            t -= c
+    return out
+
+
 class STSPipeline:
     """Full-duplex speech-to-speech: one fused step per frame."""
 
@@ -109,7 +121,43 @@ class STTPipeline:
                                              jnp.float32))}, \
                 {"enc": enc_state, "lm": lm_state}
 
+        self.frame_fn = frame
         self._frame = jax.jit(frame, donate_argnums=(2,))
+
+        def scan(mimi_params, lm_params, state, audio_frames):
+            def body(st, a):
+                out, st = frame(mimi_params, lm_params, st, a)
+                return st, (out["text"], out["vad"])
+            st, (texts, vads) = jax.lax.scan(body, state, audio_frames)
+            return texts, vads, st
+
+        self._scan = jax.jit(scan, donate_argnums=(2,))
+
+    # fixed chunk sizes: scan length is a static shape, so arbitrary
+    # inputs decompose into at most len(SCAN_CHUNKS) compiled programs
+    SCAN_CHUNKS = (64, 16, 4, 1)
+
+    def scan_frames(self, mimi_params, lm_params, state, audio_frames):
+        """Multi-frame transcription: lax.scan over [N, B, samples]
+        input frames — ONE device launch per chunk instead of one per
+        frame.  Offline/file transcription has every input frame
+        upfront, so nothing forces per-frame launches; on a remote-
+        dispatch link this removes the entire per-launch overhead
+        (hardware: the same 7B LM step costs 12.1 ms/frame inside a
+        scan vs ~19-20 ms as per-frame launches).  No reference analog —
+        the reference's prebuilt graphs are single-frame by design.
+        Returns (texts [N, B], vads [N, B], state)."""
+        n = audio_frames.shape[0]
+        texts, vads = [], []
+        pos = 0
+        for c in _chunk_lengths(n, self.SCAN_CHUNKS):
+            t, v, state = self._scan(mimi_params, lm_params, state,
+                                     audio_frames[pos: pos + c])
+            texts.append(t)
+            vads.append(v)
+            pos += c
+        return (jnp.concatenate(texts, axis=0),
+                jnp.concatenate(vads, axis=0), state)
 
     def init_state(self, batch: int, key=None, lm_params=None):
         return {
@@ -259,8 +307,52 @@ class TTSPipeline:
 
         self._fused = jax.jit(fused, static_argnums=(9,),
                               donate_argnums=(2, 3))
+        self._fused_fn = fused
+
+        def scan(mimi_params, lm_params, state, mstate, script, cond,
+                 ckv, n_frames_dummy):
+            b = n_frames_dummy.shape[1]
+            ft = jnp.full((b,), -1, jnp.int32)
+            from moshi_tpu.models.lm import UNGENERATED
+            fa = jnp.full((b, self._dep_q), UNGENERATED, jnp.int32)
+
+            def body(carry, _):
+                st, ms = carry
+                out, st, ms = fused(mimi_params, lm_params, st, ms,
+                                    script, ft, fa, cond, ckv, False)
+                return (st, ms), (out["audio_out"], out["valid"],
+                                  out["end_step"])
+            (state, mstate), ys = jax.lax.scan(body, (state, mstate),
+                                               n_frames_dummy)
+            return ys, state, mstate
+
+        self._fused_scan = jax.jit(scan, donate_argnums=(2, 3))
         self._fused_dm = dm
         return dm
+
+    SCAN_CHUNKS = (64, 16, 4, 1)
+
+    def scan_device(self, mimi_params, lm_params, state, mstate, script,
+                    n_frames: int, condition_sum=None, cross_kv=None):
+        """Generate `n_frames` TTS frames in chunked lax.scans — one
+        device launch per chunk instead of per frame (the device-side
+        FSM needs no host between frames; offline generation has no
+        realtime input, so nothing forces per-frame launches — hardware:
+        ~12 ms/frame in-scan vs ~19-20 ms per-frame-launch for the same
+        step).  Callers feed voice prefixes with per-frame step_device
+        first, then scan the free-running tail.  Returns
+        (audio [n, B, samples], valid [n, B], end_step [n, B], state,
+        mstate)."""
+        outs = []
+        b = state["lm"]["offset"].shape[0]
+        for c in _chunk_lengths(n_frames, self.SCAN_CHUNKS):
+            ys, state, mstate = self._fused_scan(
+                mimi_params, lm_params, state, mstate, script,
+                condition_sum, cross_kv, jnp.zeros((c, b), jnp.int32))
+            outs.append(ys)
+        audio, valid, end = (jnp.concatenate([o[i] for o in outs], axis=0)
+                             for i in range(3))
+        return audio, valid, end, state, mstate
 
     def step_device(self, mimi_params, lm_params, state, mstate, script,
                     forced_text=None, forced_audio=None,

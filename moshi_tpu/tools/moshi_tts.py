@@ -44,6 +44,10 @@ def main(argv=None):
                          "(cross-attention models) or a speaker wav "
                          "(prefix models)")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--scan", action="store_true",
+                    help="offline mode: generate in chunked multi-frame "
+                         "lax.scans (device FSM; one launch + one "
+                         "end_step poll per chunk)")
     ap.add_argument("--interactive", action="store_true",
                     help="feed-while-generating: a stdin reader thread "
                          "queues words into the live StateMachine as "
@@ -307,7 +311,78 @@ def main(argv=None):
         dt = time.perf_counter() - t0 if t0 else 1.0
         return wav_parts, frames, max(frames - 1, 1) / dt
 
+    def generate_scan():
+        """Offline generation: device FSM + chunked multi-frame
+        lax.scans (pipeline.TTSPipeline.scan_device) — one launch per
+        chunk; the host only polls end_step once per chunk.  Voice
+        prefixes / depformer-replace lead-in run per-frame first."""
+        import jax.numpy as _jnp
+        from moshi_tpu.models.device_machine import (compile_script,
+                                                     init_device_state)
+        dm = pipe.enable_device_fsm(machine)
+        script_arr = compile_script([entries], dm)
+
+        # warm every chunk program on a throwaway state (compile
+        # excluded from timing, like frame 0 in the per-frame paths)
+        wstate = pipe.init_state(1, jax.random.PRNGKey(args.seed))
+        wm = init_device_state(dm, script_arr)
+        for c in sorted(set(pipe.SCAN_CHUNKS)):
+            _, _, e, wstate, wm = pipe.scan_device(
+                mimi_params, lm_params, wstate, wm, script_arr, c,
+                condition_sum, cross_kv)
+            np.asarray(e)
+        out0, wstate, wm = pipe.step_device(
+            mimi_params, lm_params, wstate, wm, script_arr,
+            depformer_replace=True)
+        np.asarray(out0["end_step"])
+        del wstate, wm
+
+        state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
+        mdev = init_device_state(dm, script_arr)
+        tp = list(text_prefixes)
+        ap_q = list(audio_prefixes)
+        t0 = time.perf_counter()
+        head = []
+        f = 0
+        # per-frame lead-in: depformer-replace window + forced prefixes
+        while f < lm_cfg.delay_steps or tp or ap_q:
+            forced_text = (_jnp.asarray([tp.pop(0)], _jnp.int32)
+                           if tp else None)
+            out, state, mdev = pipe.step_device(
+                mimi_params, lm_params, state, mdev, script_arr,
+                forced_text=forced_text, forced_audio=_forced_audio(ap_q),
+                condition_sum=condition_sum, cross_kv=cross_kv,
+                depformer_replace=f < lm_cfg.delay_steps)
+            head.append(out)
+            f += 1
+        chunks = []
+        end = -1
+        while end < 0 and f < args.max_frames:
+            c = min(64, args.max_frames - f)
+            audio_c, valid_c, end_c, state, mdev = pipe.scan_device(
+                mimi_params, lm_params, state, mdev, script_arr, c,
+                condition_sum, cross_kv)
+            end = int(np.asarray(end_c[-1])[0])   # 1 RPC per chunk
+            chunks.append((audio_c, valid_c, end_c))
+            f += c
+        dt = time.perf_counter() - t0
+        # assemble: head frames (invalid/replace) then scan chunks
+        audio = np.concatenate([np.asarray(a) for a, _, _ in chunks])
+        valid = np.concatenate([np.asarray(v) for _, v, _ in chunks])
+        ends = np.concatenate([np.asarray(e) for _, _, e in chunks])
+        end_first = next((i for i in range(len(ends))
+                          if ends[i][0] >= 0), len(ends))
+        end_step = int(ends[end_first][0]) if end_first < len(ends) \
+            else -1
+        total = (min(args.max_frames, end_step + lm_cfg.delay_steps +
+                     final_padding) if end_step >= 0 else f)
+        keep = max(0, total - len(head))
+        wav_parts = [audio[i][0] for i in range(keep) if valid[i][0]]
+        frames = min(f, total)
+        return wav_parts, frames, max(frames - 1, 1) / dt
+
     generate = (generate_interactive if args.interactive
+                else generate_scan if args.scan
                 else generate_host if args.host_fsm else generate_device)
     if args.bench:
         generate()          # warm both depformer_replace variants

@@ -88,3 +88,42 @@ def test_quantized_cache_flow(tmp_path, rng):
     a = jax.tree_util.tree_leaves(p1)[0]
     b = jax.tree_util.tree_leaves(p2)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_moshi_stt_scan_matches_per_frame(tmp_path, rng):
+    """--scan (chunked multi-frame lax.scan, one launch per chunk) must
+    transcribe identically to the per-frame loop."""
+    import subprocess  # noqa: F401  (pattern parity with other tests)
+    from moshi_tpu.io.wav import save_wav
+    from moshi_tpu.tools.moshi_stt import main
+    path = str(tmp_path / "in.wav")
+    save_wav(path, (rng.standard_normal(24_000 * 2) * 0.1
+                    ).astype(np.float32), 24_000)
+
+    import contextlib
+    import io
+
+    def run(extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["-i", path, "--synthetic"] + extra)
+        assert rc == 0
+        return buf.getvalue().splitlines()
+
+    per_frame = run([])
+    scanned = run(["--scan"])
+    # transcript (first line) identical; fps line differs
+    assert scanned[0] == per_frame[0]
+
+
+def test_moshi_tts_scan_mode(tmp_path):
+    """--scan (device FSM + chunked lax.scans) produces audio and ends
+    at the script end like the per-frame device path."""
+    from moshi_tpu.io.wav import load_wav
+    from moshi_tpu.tools.moshi_tts import main
+    out = str(tmp_path / "tts.wav")
+    rc = main(["hello", "there", "world", "-o", out, "--synthetic",
+               "--scan", "--max-frames", "120"])
+    assert rc == 0
+    audio, rate = load_wav(out)
+    assert rate == 24_000 and len(audio) > 0
