@@ -64,6 +64,12 @@ def main():
                     help="pure-XLA dequant path")
     ap.add_argument("--no-validate", action="store_true",
                     help="skip the untimed digest-reproducibility runs")
+    ap.add_argument("--scan", action="store_true",
+                    help="offline mode: chunked multi-frame lax.scans "
+                         "(one launch per 64/16/4/1-frame chunk; fair "
+                         "for the --bench scenario where input frames "
+                         "are predecided, like the reference's silence "
+                         "frames — NOT the live-duplex headline)")
     ap.add_argument("--window", type=int, default=8,
                     help="dispatch-ahead depth for the secondary "
                          "windowed phase")
@@ -214,6 +220,58 @@ def main():
         s0, c0, d0 = step(s0, jnp.float32(0.0), inputs[-1])
         jax.block_until_ready(d0)
         del s0, c0, d0
+
+    if args.scan:
+        if args.no_mimi:
+            raise SystemExit("--scan needs the full pipeline (no-mimi "
+                             "unsupported)")
+        import time as _time
+
+        def scan_run(frames_arr, st):
+            texts, toks, audio, st = pipe.scan_frames(
+                mimi_params, params, st, frames_arr)
+            # host-side digest from FETCHED outputs (fully honest)
+            t_np = np.asarray(texts, np.float64)
+            k_np = np.asarray(toks, np.float64)
+            a_np = np.nan_to_num(np.asarray(audio, np.float64),
+                                 nan=1.0, posinf=2.0, neginf=-2.0)
+            return float(t_np.sum() + k_np.sum() + a_np.sum()), st
+
+        frames_arr = jnp.stack(inputs[: args.frames])
+        # warm every chunk program (compile excluded)
+        wst = init_state()
+        for c in sorted(set(pipe.SCAN_CHUNKS)):
+            if c <= args.frames:
+                _, wst = scan_run(frames_arr[:c], wst)
+        del wst
+        st = init_state()
+        t0 = _time.perf_counter()
+        digest, st = scan_run(frames_arr, st)
+        dt = _time.perf_counter() - t0
+        frame_ms = dt * 1000 / args.frames
+        checks = {"digest_finite": bool(np.isfinite(digest)),
+                  "above_floor": bool(frame_ms >= bytes_per_frame /
+                                      honest.CEIL_BYTES_PER_S * 1e3)}
+        if not args.no_validate:
+            d1, _ = scan_run(frames_arr[:8], init_state())
+            d2, _ = scan_run(frames_arr[:8], init_state())
+            d3, _ = scan_run(jnp.stack(inputs[args.frames:
+                                              args.frames + 8]),
+                             init_state())
+            checks["deterministic"] = bool(d1 == d2)
+            checks["input_dependent"] = bool(d1 != d3)
+        fps = 1000.0 / frame_ms
+        print(json.dumps({
+            "metric": ("sts_frames_per_sec_7b_q4k_scan" if not args.small
+                       else "sts_frames_per_sec_small_scan"),
+            "value": round(fps, 2), "unit": "frames/s",
+            "vs_baseline": round(fps / 19.49, 3),
+            "frame_ms": round(frame_ms, 2),
+            "device": str(jax.devices()[0]), "fmt": args.fmt,
+            "pallas": args.pallas, "digest": digest,
+            "valid": all(checks.values()), "checks": checks,
+        }))
+        return
 
     prof = None
     if args.profile:

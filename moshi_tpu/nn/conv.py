@@ -79,9 +79,11 @@ class StreamingConv1d:
         )
         if "bias" in params:
             y = y + params["bias"].astype(y.dtype)
+        # carry pinned to the state's storage dtype (compute may run f32
+        # while the carry is bf16; a flip breaks scan carry stability)
         new_prev = full[:, full.shape[1] - self.carry:] if self.carry else \
             full[:, :0]
-        return y, {"prev": new_prev}
+        return y, {"prev": new_prev.astype(state["prev"].dtype)}
 
 
 @dataclass(frozen=True)
@@ -162,7 +164,10 @@ class StreamingConvTranspose1d:
         if self.tail:
             pad = jnp.zeros((b, emit - self.tail, self.out_ch), y.dtype)
             y = y + jnp.concatenate([state["partial"].astype(y.dtype), pad], axis=1)
-            new_partial = y_full[:, emit:]
+            # keep the carry at the state's storage dtype: compute may
+            # run f32 while the ring state is bf16, and a dtype flip
+            # breaks scan carry type-stability (surfaced by scan_frames)
+            new_partial = y_full[:, emit:].astype(state["partial"].dtype)
         else:
             new_partial = state["partial"]
         if "bias" in params:

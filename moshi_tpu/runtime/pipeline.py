@@ -80,6 +80,37 @@ class STSPipeline:
         self.frame_fn = frame  # unjitted: composable (bench digest harness)
         self._frame = jax.jit(frame, donate_argnums=(2,))
 
+        def scan(mimi_params, lm_params, state, audio_frames):
+            def body(st, a):
+                out, st = frame(mimi_params, lm_params, st, a, None, None)
+                return st, (out["text"], out["audio_tokens"],
+                            out["audio_out"])
+            st, ys = jax.lax.scan(body, state, audio_frames)
+            return ys, st
+
+        self._scan = jax.jit(scan, donate_argnums=(2,))
+
+    SCAN_CHUNKS = (64, 16, 4, 1)
+
+    def scan_frames(self, mimi_params, lm_params, state, audio_frames):
+        """Offline multi-frame STS: chunked lax.scans over [N, B,
+        samples] input frames — one launch per chunk (batch dialog
+        processing / the --bench scenario where every input frame is
+        known upfront; live duplex streaming still uses step()).
+        Returns (texts [N, B], audio_tokens [N, B, dep_q],
+        audio_out [N, B, samples], state)."""
+        n = audio_frames.shape[0]
+        outs = []
+        pos = 0
+        for c in _chunk_lengths(n, self.SCAN_CHUNKS):
+            ys, state = self._scan(mimi_params, lm_params, state,
+                                   audio_frames[pos: pos + c])
+            outs.append(ys)
+            pos += c
+        texts, toks, audio = (jnp.concatenate([o[i] for o in outs], axis=0)
+                              for i in range(3))
+        return texts, toks, audio, state
+
     def init_state(self, batch: int, key=None, lm_params=None):
         return {
             "enc": self.mimi.init_encode_state(batch, self.mimi_dtype),
