@@ -300,19 +300,22 @@ def temporal_forward(cfg: LMConfig, params, kv_state, tokens, offset,
     from moshi_tpu.quant.formats import QuantTensor, pallas_enabled
     tp = current_tp()
     pp = current_pp()
-    if (pp is not None and pallas_enabled()
+    if (tp is not None and pallas_enabled()
+            and isinstance(params["text_linear"]["weight"], QuantTensor)):
+        # row-sharded head: per-shard pallas kernel + gathered logits.
+        # Checked before pp: on a 3-axis TPxPP mesh the TP shard_map's
+        # specs never mention "pp", so it runs pp-replicated — real
+        # sharding beats pp's replicated-weights wrapper.
+        from moshi_tpu.parallel.tp import tp_row_logits
+        logits = capture("lm/text_logits", tp_row_logits(
+            h, params["text_linear"]["weight"], tp))
+    elif (pp is not None and pallas_enabled()
             and isinstance(params["text_linear"]["weight"], QuantTensor)):
         # replicated head inside a shard_map (Mosaic kernels cannot be
         # auto-partitioned over the pp mesh)
         from moshi_tpu.parallel.pp import pp_head_logits
         logits = capture("lm/text_logits", pp_head_logits(
             h, params["text_linear"]["weight"], pp))
-    elif (tp is not None and pallas_enabled()
-            and isinstance(params["text_linear"]["weight"], QuantTensor)):
-        # row-sharded head: per-shard pallas kernel + gathered logits
-        from moshi_tpu.parallel.tp import tp_row_logits
-        logits = capture("lm/text_logits", tp_row_logits(
-            h, params["text_linear"]["weight"], tp))
     else:
         logits = capture("lm/text_logits",
                          linear(params["text_linear"], h,
@@ -743,18 +746,21 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
         norms = {"norm1": dep["layers"]["norm1"],
                  "norm2": dep["layers"]["norm2"]}
         text_emb = _depformer_text_embed(cfg, dep, text_token)
+        tp = current_tp()
+        if tp is not None:
+            # checked before pp: on a 3-axis TPxPP mesh the TP shard_map
+            # runs pp-replicated (its specs never mention "pp") and
+            # actually shards the per-step weights over `model`
+            from moshi_tpu.parallel.tp import tp_depformer_generate
+            return tp_depformer_generate(
+                cfg, norms, text_emb, transformer_out, text_token, keys,
+                step_w, temp, top_k, tp)
         pp = current_pp()
         if pp is not None:
             from moshi_tpu.parallel.pp import pp_depformer_generate
             return pp_depformer_generate(
                 cfg, norms, text_emb, transformer_out, text_token, keys,
                 step_w, temp, top_k, pp)
-        tp = current_tp()
-        if tp is not None:
-            from moshi_tpu.parallel.tp import tp_depformer_generate
-            return tp_depformer_generate(
-                cfg, norms, text_emb, transformer_out, text_token, keys,
-                step_w, temp, top_k, tp)
         return _depformer_generate_stacked(
             cfg, norms, text_emb, transformer_out, text_token, keys,
             step_w, temp, top_k)

@@ -389,6 +389,13 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
         if pp is not None and pp.matches(cfg):
             # pipeline-parallel stages; the config-identity gate keeps
             # the depformer / mimi stacks in the same jit replicated
+            from moshi_tpu.parallel.tp import current_tp
+            tp3 = current_tp()
+            if tp3 is not None:
+                # both scopes on one 3-axis mesh: TP within each stage
+                from moshi_tpu.parallel.tp_pp import tp_pp_transformer_decode
+                return tp_pp_transformer_decode(cfg, params, state, x,
+                                                offset, tp3, pp)
             from moshi_tpu.parallel.pp import pp_transformer_decode
             return pp_transformer_decode(cfg, params, state, x, offset, pp)
         from moshi_tpu.parallel.tp import current_tp

@@ -8,3 +8,6 @@ from moshi_tpu.parallel.pp import (  # noqa: F401
     current_pp, make_pp_mesh, pp_scope, pp_shard_lm_params,
     pp_shard_lm_state,
 )
+from moshi_tpu.parallel.tp_pp import (  # noqa: F401
+    make_tp_pp_mesh, tp_pp_shard_lm_params, tp_pp_shard_lm_state,
+)
