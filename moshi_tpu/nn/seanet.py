@@ -109,6 +109,13 @@ class SEANetEncoder:
 
         def run(name, h):
             m = self.modules[name]
+            if tap:
+                # record the op's INPUT and carry STATE too, so
+                # utils/replay.seanet_ops can re-execute each streaming
+                # conv from recorded state (op-level localization)
+                h = capture(f"{tap}/{name}:in", h)
+                for sk in state[name]:
+                    capture(f"{tap}/{name}:{sk}", state[name][sk])
             y, s = m(params[name], state[name], h)
             new_state[name] = s
             if tap:
@@ -180,6 +187,12 @@ class SEANetDecoder:
 
         def run(name, h):
             m = self.modules[name]
+            if tap:
+                # input + carry-state taps for op-level replay
+                # (utils/replay.seanet_ops)
+                h = capture(f"{tap}/{name}:in", h)
+                for sk in state[name]:
+                    capture(f"{tap}/{name}:{sk}", state[name][sk])
             y, s = m(params[name], state[name], h)
             new_state[name] = s
             if tap:

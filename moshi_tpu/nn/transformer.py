@@ -252,6 +252,12 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
 
     if tap:
         from moshi_tpu.utils.capture import capture
+        # snapshot the PRE-update rings + offset once per frame so
+        # replay_ops can re-execute decode attention from recorded state
+        # (replay.h:332-385 re-executes attention ops the same way)
+        k_stack = capture(f"{tap}/ring_k", k_stack)
+        v_stack = capture(f"{tap}/ring_v", v_stack)
+        offset = capture(f"{tap}/offset", offset)
 
     def body(hcur, l):
         if tap:  # per-op taps for replay-style localization (replay.h)

@@ -41,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--sim-speed", type=float, default=1.0,
                     help="capture pacing speedup for --realtime-sim "
                          "(2.0 = frames arrive every 40 ms)")
+    ap.add_argument("--dump-frame", default=None, metavar="PATH",
+                    help="run ONE frame with every capture tap recorded "
+                         "and write PATH.npz + PATH.json (tensors, "
+                         "execution order, caller provenance) — the "
+                         "GraphDumper analog (ggml_cap.h:1541-1766)")
     add_common_args(ap)
     args = ap.parse_args(argv)
     if args.list_devices:
@@ -88,6 +93,17 @@ def main(argv=None):
         n = (len(audio) + FRAME_SIZE - 1) // FRAME_SIZE
         audio = np.pad(audio, (0, n * FRAME_SIZE - len(audio)))
     n = len(audio) // FRAME_SIZE
+
+    if args.dump_frame:
+        from moshi_tpu.utils.capture import recording
+        with recording() as rec:
+            out, state = pipe.step(mimi_params, lm_params, state,
+                                   audio[:FRAME_SIZE][None])
+            np.asarray(out["audio_out"])    # force execution (D->H)
+        rec.dump_graph(args.dump_frame)
+        print(f"dumped {len(rec.order)} tensors "
+              f"({len(rec.values)} taps) to {args.dump_frame}.npz/.json")
+        return 0
 
     transcript = []
     pad_id = config.existing_text_padding_id

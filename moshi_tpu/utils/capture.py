@@ -45,6 +45,14 @@ def capture(name: str, value):
         s = jnp.sum(jnp.asarray(value).astype(jnp.float32))
         jax.debug.print(name + ": sum={s}", s=s, ordered=True)
     if _ACTIVE is not None:
+        if name not in _ACTIVE.provenance:
+            # stamp the CALLER's file:line at trace time — ggml_wrap.h's
+            # per-op provenance (ggml_wrap.h:12-22); zero cost when no
+            # recorder is active
+            import sys
+            fr = sys._getframe(1)
+            _ACTIVE.provenance[name] = \
+                f"{fr.f_code.co_filename}:{fr.f_lineno}"
         jax.debug.callback(_ACTIVE._record, name, value, ordered=True)
     return value
 
@@ -57,6 +65,9 @@ class TraceRecorder:
         # replay localizer walks (replay.h:360-385 re-executes in graph
         # order for the same reason)
         self.order: List[tuple] = []
+        # tap name -> "file:line" of the capture() call site, stamped at
+        # trace time (the ggml_wrap.h caller-provenance analog)
+        self.provenance: Dict[str, str] = {}
 
     def _record(self, name, value):
         name = str(name)
@@ -69,6 +80,31 @@ class TraceRecorder:
             for i, v in enumerate(vals):
                 flat[f"{name}@{i}"] = v
         np.savez_compressed(path, **flat)
+
+    def dump_graph(self, path: str):
+        """Whole-trace dump: every recorded tensor (npz) + a JSON
+        sidecar with the execution order, shapes, dtypes, and caller
+        provenance — the GraphDumper analog (the reference dumps every
+        op's tensor with op/name/caller metadata,
+        /root/reference/src/ggml_cap.h:1541-1766).  Written as
+        <path>.npz + <path>.json."""
+        import json
+        self.save(path if path.endswith(".npz") else path + ".npz")
+        doc = {
+            "order": [{"name": n, "occurrence": i} for n, i in self.order],
+            "tensors": {
+                f"{name}@{i}": {
+                    "shape": list(v.shape),
+                    "dtype": str(v.dtype),
+                    "caller": self.provenance.get(name, ""),
+                }
+                for name, vals in self.values.items()
+                for i, v in enumerate(vals)
+            },
+        }
+        jpath = (path[:-4] if path.endswith(".npz") else path) + ".json"
+        with open(jpath, "w") as fh:
+            json.dump(doc, fh, indent=1)
 
     @staticmethod
     def load(path: str) -> Dict[str, np.ndarray]:
