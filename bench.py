@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "float8_e4m3fn"],
                     help="KV-ring storage dtype (fp8 halves KV memory)")
+    ap.add_argument("--no-auto-context", action="store_true",
+                    help="disable the HBM-aware context shrink for "
+                         "batch > 1 (moshi-sts.cpp:254-264 analog)")
     ap.add_argument("--i8-storage", action="store_true",
                     help="unpack 4-bit weights to natural-order int8 at "
                          "load (2x HBM bytes, zero weight-side unpack in "
@@ -131,6 +134,20 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = synth_lm_params(key, cfg, fmt=fmt)
+    if (not args.small and args.batch > 1 and not args.no_auto_context
+            and jax.default_backend() != "cpu"):
+        # HBM-aware context shrink (≙ moshi-sts.cpp:254-264): B=4 bf16
+        # at ctx 3000 measured 16.39 GB wanted of 15.75 (round 4) — trim
+        # the ring so sessions x KV fits, and SAY so
+        from moshi_tpu.runtime.memory import auto_shrink_context
+        from moshi_tpu.utils.honest import tree_bytes
+        cfg, shrunk, ctx = auto_shrink_context(
+            cfg, tree_bytes(params), sessions=args.batch)
+        if shrunk:
+            import sys
+            print(f"auto-context: ring context 3000 -> {ctx} to fit "
+                  f"batch={args.batch} sessions in HBM "
+                  f"(--no-auto-context to disable)", file=sys.stderr)
     if args.i8_storage:
         from moshi_tpu.quant.formats import i8_storage_tree
         params = i8_storage_tree(params)
@@ -322,6 +339,7 @@ def main():
         result["sessions"] = args.batch
         result["kv_dtype"] = args.kv_dtype
         result["session_frames_per_sec"] = round(fps * args.batch, 2)
+        result["context"] = cfg.context   # records any auto-shrink
     print(json.dumps(result))
 
 

@@ -1,16 +1,18 @@
 """TTSSessionPool throughput: continuous batching requests/s (VERDICT
-r3 item 5).
+r3 item 5; chunked ticks + auto slots, VERDICT r4 item 2).
 
 Streams a queue of TTS requests (random scripts of varying length)
-through a TTSSessionPool with N slots: attach-on-free, one fused device
-launch per tick, per-tick host fetch of audio/valid/end (the pool's
-tick() is synchronous by construction, so the measurement is honest —
-every tick's bytes land on the host).
+through a TTSSessionPool with N slots.  Default mode runs CHUNKED pool
+ticks (`tick_chunk`): one lax.scan launch + one D->H fetch per --chunk
+frames (the device FSM needs no host between frames), with
+attach_many() batching session admission at chunk boundaries.
+`--chunk 1` restores the per-frame-synced tick() for A/B.  Every
+chunk's audio bytes land on the host, so the measurement is honest.
 
 Prints ONE JSON line: requests/s, session-frames/s, ticks, wall.
 
-Usage: python benchmarks/serving_bench.py [--small] [--slots 4]
-       [--requests 12]
+Usage: python benchmarks/serving_bench.py [--small] [--slots 4|auto]
+       [--requests 12] [--chunk 16]
 """
 
 import argparse
@@ -23,8 +25,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--slots", default="4",
+                    help="slot count, or 'auto' = HBM-derived "
+                         "(runtime/serving.auto_slots)")
     ap.add_argument("--requests", type=int, default=12)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="frames per pool tick_chunk launch; 1 = "
+                         "per-frame-synced tick() (the round-4 mode)")
     ap.add_argument("--max-ticks", type=int, default=3000)
     args = ap.parse_args()
 
@@ -83,8 +90,20 @@ def main():
         second_stream_ahead=2 if cfg.demux_second_stream else 0,
         max_padding=8, initial_padding=2)
     pipe = TTSPipeline(mimi, cfg)
-    pool = TTSSessionPool(pipe, machine, mimi_params, params,
-                          batch=args.slots)
+    if args.slots == "auto":
+        from moshi_tpu.quant.formats import QuantTensor
+        from moshi_tpu.runtime.serving import auto_slots
+
+        def nbytes(a):
+            return sum(x.size * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(a))
+        weight_bytes = nbytes(params) + nbytes(mimi_params)
+        slots = auto_slots(cfg, weight_bytes, cap=16)
+        print(f"# auto slots: {slots} (weights "
+              f"{weight_bytes / 2**30:.2f} GiB)", flush=True)
+    else:
+        slots = int(args.slots)
+    pool = TTSSessionPool(pipe, machine, mimi_params, params, batch=slots)
 
     rng = np.random.default_rng(0)
 
@@ -93,32 +112,43 @@ def main():
                                         rng.integers(1, 4))),
                       f"w{i}", 1) for i in range(n_words)]
 
+    def run_tick():
+        if args.chunk > 1:
+            return pool.tick_chunk(args.chunk)
+        return pool.tick()
+
     pending = [random_script(int(rng.integers(4, 12)))
                for _ in range(args.requests)]
     next_id = 0
     done = 0
     frames = 0
     # warm/compile tick with one session attached (excluded from timing)
-    pool.attach(f"warm", random_script(2))
+    pool.attach("warm", random_script(2))
     while pool.active:
-        for sid, r in pool.tick().items():
-            pass
+        run_tick()
     t0 = time.perf_counter()
     ticks = 0
     while done < args.requests and ticks < args.max_ticks:
-        while pending and pool.active < args.slots:
-            pool.attach(f"r{next_id}", pending.pop(0))
+        admit = {}
+        while pending and pool.active + len(admit) < slots:
+            admit[f"r{next_id}"] = pending.pop(0)
             next_id += 1
-        res = pool.tick()
+        if admit:
+            pool.attach_many(admit)
+        res = run_tick()
         ticks += 1
-        frames += len(res)
+        # count USEFUL session-frames (chunk mode trims a finished
+        # slot's free-running tail; don't credit trimmed frames)
+        frames += sum(
+            (len(r["audio_out"]) if getattr(r["audio_out"], "ndim", 1) > 1
+             else 1) for r in res.values())
         done += sum(1 for r in res.values() if r["done"])
     dt = time.perf_counter() - t0
 
     print(json.dumps({
         "metric": "tts_pool_requests_per_sec",
         "value": round(done / dt, 2), "unit": "req/s",
-        "slots": args.slots, "requests": done,
+        "slots": slots, "chunk": args.chunk, "requests": done,
         "session_frames_per_sec": round(frames / dt, 2),
         "ticks": ticks, "wall_s": round(dt, 2),
         "device": str(jax.devices()[0]),

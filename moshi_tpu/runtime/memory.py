@@ -35,18 +35,47 @@ def kv_bytes_per_session(cfg, context: int | None = None) -> int:
     return int(cfg.num_layers * per_layer * itemsize)
 
 
+# Transient multiplier on live KV bytes, measured on hardware (round
+# 5): the B=4 bf16 full-STS program asked for 16.39 GB at ctx 3000 =
+# weights 5.14 GB + 4 x 1.57 GB KV x ~1.79 (donation/init transients),
+# vs the naive weights+KV sum of 11.4 GB.  B=1/B=2 fit at full context
+# under the same model, so the factor is calibrated, not padded.
+KV_TRANSIENT = 1.8
+
+
 def suggest_sessions(cfg, weight_bytes: int, device=None,
-                     headroom: float = 0.85) -> int:
+                     headroom: float = 0.85,
+                     kv_transient: float = KV_TRANSIENT) -> int:
     """Max concurrent sessions for the given weights + per-session KV."""
     budget = int(hbm_bytes(device) * headroom) - weight_bytes
-    per = kv_bytes_per_session(cfg)
+    per = int(kv_bytes_per_session(cfg) * kv_transient)
     return max(budget // per, 0) if per else 0
 
 
 def suggest_context(cfg, weight_bytes: int, sessions: int = 1, device=None,
-                    headroom: float = 0.85) -> int:
+                    headroom: float = 0.95,
+                    kv_transient: float = KV_TRANSIENT) -> int:
     """Largest context fitting `sessions` concurrent streams — the
-    reference's auto-shrink, HBM edition."""
+    reference's auto-shrink, HBM edition (moshi-sts.cpp:254-264 shrinks
+    context to fit VRAM before load)."""
     budget = int(hbm_bytes(device) * headroom) - weight_bytes
-    per_ctx = kv_bytes_per_session(cfg, context=1) * sessions
+    per_ctx = int(kv_bytes_per_session(cfg, context=1) * sessions
+                  * kv_transient)
     return max(min(budget // per_ctx, cfg.context), 0) if per_ctx else 0
+
+
+def auto_shrink_context(cfg, weight_bytes: int, sessions: int = 1,
+                        device=None):
+    """Return (cfg', shrunk?, suggested): cfg with `context` reduced to
+    what fits `sessions` concurrent streams in HBM next to the weights
+    (identity when everything fits).  The reference does exactly this
+    before load (moshi-sts.cpp:254-264: ctx = (vram - base) / per_1000);
+    callers print the tradeoff so the shrink is never silent."""
+    import dataclasses
+    ctx = suggest_context(cfg, weight_bytes, sessions=sessions,
+                          device=device)
+    if 0 < ctx < cfg.context:
+        # keep the ring chunkable: round to a 8-multiple
+        ctx = max(ctx // 8 * 8, 8)
+        return dataclasses.replace(cfg, context=ctx), True, ctx
+    return cfg, False, cfg.context

