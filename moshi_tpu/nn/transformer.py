@@ -250,6 +250,16 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
     cos_sin = shared["cos_sin"]
     k_stack, v_stack = state["k"], state["v"]
 
+    # mid-grain fusion (opt-in, VERDICT r4 item 1): out_proj + residual
+    # + norm2 + GLU as ONE kernel — only on the single-row int8-MXU
+    # path, untapped (replay needs the intermediate taps) and un-TP'd
+    # (the psum must land between out_proj and the residual)
+    from moshi_tpu.quant.pallas_fused import can_fuse_mid, fuse_mid_enabled
+    from moshi_tpu.quant.pallas_matmul import _int8_dispatch
+    fuse_mid = (tap is None and tp_axis is None and fuse_mid_enabled()
+                and _int8_dispatch(out_w, b) and _int8_dispatch(glu_w, b)
+                and can_fuse_mid(out_w, glu_w, b))
+
     if tap:
         from moshi_tpu.utils.capture import capture
         # snapshot the PRE-update rings + offset once per frame so
@@ -280,6 +290,13 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
         attn = attn.reshape(b, dl).astype(jnp.bfloat16)
         if tap:
             attn = capture(f"{tap}/attn_ctx", attn)
+        if fuse_mid:
+            from moshi_tpu.quant.pallas_fused import attn_ffn_fused_i8
+            g, h_mid = attn_ffn_fused_i8(attn, hcur, out_w, glu_w, n2, l)
+            ffn = qmatmul_pallas_stacked(g.astype(jnp.bfloat16), lout_w, l)
+            hcur = (h_mid + ffn).astype(hcur.dtype)
+            return hcur, (k_new.astype(k_stack.dtype),
+                          v_new.astype(v_stack.dtype))
         o = qmatmul_pallas_stacked(attn, out_w, l)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)

@@ -92,9 +92,11 @@ def _pad8(nb: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _prep_int8_activation(x_ref, alpha_val, xq_s, xs_s, dx_s, *, k, nb):
+def _prep_int8_activation(x, alpha_val, xq_s, xs_s, dx_s, *, k, nb):
     """Norm (optional) + per-32-block int8 quantization of the activation
-    row into VMEM scratch.  Runs once, at grid step 0.
+    row (a VALUE [1, K] — callers pass `x_ref[:]`, or an in-kernel
+    intermediate like the fused attn-out+FFN-in kernel's residual sum)
+    into VMEM scratch.  Runs once, at grid step 0.
 
     Produces: xq_s [nb, k] i8 block-diagonal spread; dx_s [1, nb] f32
     per-block scales; xs_s [1, nb] f32 block sums of the QUANTIZED row
@@ -106,7 +108,7 @@ def _prep_int8_activation(x_ref, alpha_val, xq_s, xs_s, dx_s, *, k, nb):
     and measurably amplify the noise.  The [nb, 1] -> [1, nb] turns are
     MXU identity contractions (Mosaic has no cheap sublane<->lane
     transpose)."""
-    x = x_ref[:].astype(jnp.float32)
+    x = x.astype(jnp.float32)
     if alpha_val is not None:
         ms = jnp.mean(x * x, axis=-1, keepdims=True)
         x = x * jax.lax.rsqrt(ms + 1e-8) * alpha_val.astype(jnp.float32)
@@ -220,7 +222,7 @@ def _mk_kernel(fmt: str, k: int, nb: int, packed: bool, fuse_norm: bool,
 
         @pl.when(pl.program_id(0) == 0)
         def _():
-            _prep_int8_activation(x_ref, alpha_val, xq_s, xs_s, dx_s,
+            _prep_int8_activation(x_ref[:], alpha_val, xq_s, xs_s, dx_s,
                                   k=k, nb=nb)
 
         ys = []
