@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=16,
                     help="frames per pool tick_chunk launch; 1 = "
                          "per-frame-synced tick() (the round-4 mode)")
+    ap.add_argument("--fmt", default="q8_0",
+                    choices=["q8_0", "q8_r", "q4_k", "bf16"],
+                    help="weight format for the pool A/B: q8_0 (f32-"
+                         "dequant pallas at B>1), q8_r (plain XLA int8 "
+                         "dot — batches on the MXU), q4_k, bf16")
     ap.add_argument("--max-ticks", type=int, default=3000)
     args = ap.parse_args()
 
@@ -78,7 +83,7 @@ def main():
                        depformer_low_rank=128, delay_steps=16,
                        demux_second_stream=True)
         mimi_cfg = MimiConfig(n_q=32)
-        fmt = "q8_0"
+        fmt = None if args.fmt == "bf16" else args.fmt
     if jax.default_backend() != "cpu":
         enable_pallas(True)
 
@@ -148,6 +153,7 @@ def main():
     print(json.dumps({
         "metric": "tts_pool_requests_per_sec",
         "value": round(done / dt, 2), "unit": "req/s",
+        "fmt": args.fmt,
         "slots": slots, "chunk": args.chunk, "requests": done,
         "session_frames_per_sec": round(frames / dt, 2),
         "ticks": ticks, "wall_s": round(dt, 2),

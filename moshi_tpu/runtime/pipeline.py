@@ -38,6 +38,17 @@ def _chunk_lengths(t: int, chunks):
     return out
 
 
+def _scan_chunks(default=(64, 16, 4, 1)):
+    """Fixed scan chunk sizes, overridable via MOSHI_TPU_SCAN_CHUNKS
+    (e.g. "256,64,16,4,1" — longer chunks = fewer launches for long
+    offline runs, one extra compiled program per new size)."""
+    import os
+    s = os.environ.get("MOSHI_TPU_SCAN_CHUNKS")
+    if s:
+        return tuple(int(x) for x in s.split(","))
+    return default
+
+
 class STSPipeline:
     """Full-duplex speech-to-speech: one fused step per frame."""
 
@@ -90,7 +101,7 @@ class STSPipeline:
 
         self._scan = jax.jit(scan, donate_argnums=(2,))
 
-    SCAN_CHUNKS = (64, 16, 4, 1)
+    SCAN_CHUNKS = _scan_chunks()
 
     def scan_frames(self, mimi_params, lm_params, state, audio_frames):
         """Offline multi-frame STS: chunked lax.scans over [N, B,
@@ -166,7 +177,7 @@ class STTPipeline:
 
     # fixed chunk sizes: scan length is a static shape, so arbitrary
     # inputs decompose into at most len(SCAN_CHUNKS) compiled programs
-    SCAN_CHUNKS = (64, 16, 4, 1)
+    SCAN_CHUNKS = _scan_chunks()
 
     def scan_frames(self, mimi_params, lm_params, state, audio_frames):
         """Multi-frame transcription: lax.scan over [N, B, samples]
@@ -361,7 +372,7 @@ class TTSPipeline:
         self._fused_dm = dm
         return dm
 
-    SCAN_CHUNKS = (64, 16, 4, 1)
+    SCAN_CHUNKS = _scan_chunks()
 
     def scan_device(self, mimi_params, lm_params, state, mstate, script,
                     n_frames: int, condition_sum=None, cross_kv=None):
