@@ -89,6 +89,17 @@ def ring_insert(cache: jnp.ndarray, values: jnp.ndarray, positions: jnp.ndarray,
             cache, values.astype(cache.dtype),
             (jnp.int32(0), slots[0, 0].astype(jnp.int32))
             + (jnp.int32(0),) * (cache.ndim - 2))
+    if t == 1 and b <= 16:
+        # batched decode: a per-row DUS chain aliases the donated ring
+        # in place; the batched scatter below allocates a full
+        # ring-sized HLO temp (the B=4 OOM's 2.79 GB AllocateBuffer)
+        out = cache
+        tail = (jnp.int32(0),) * (cache.ndim - 2)
+        for i in range(b):
+            out = jax.lax.dynamic_update_slice(
+                out, values[i: i + 1].astype(cache.dtype),
+                (jnp.int32(i), slots[i, 0].astype(jnp.int32)) + tail)
+        return out
     batch_idx = jnp.arange(b, dtype=slots.dtype)[:, None]
     return cache.at[batch_idx, slots].set(values.astype(cache.dtype))
 

@@ -325,16 +325,25 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
         body, x[:, 0], jnp.arange(cfg.num_layers, dtype=jnp.int32),
         unroll=SCAN_UNROLL)
     slot = (offset % cfg.mha.cap).astype(jnp.int32)
+    z = jnp.int32(0)
     if b == 1:
-        z = jnp.int32(0)
         kc = jax.lax.dynamic_update_slice(
             k_stack, ks[:, :, None], (z, z, slot[0], z, z))
         vc = jax.lax.dynamic_update_slice(
             v_stack, vs[:, :, None], (z, z, slot[0], z, z))
     else:
-        bi = jnp.arange(b)
-        kc = k_stack.at[:, bi, slot].set(ks)
-        vc = v_stack.at[:, bi, slot].set(vs)
+        # per-session dynamic_update_slice chain, NOT a batched scatter:
+        # `.at[:, bi, slot].set` lowers to a gather+scatter that
+        # allocates a full ring-sized HLO temp per cache (measured:
+        # 2x 2.79 GB AllocateBuffer at B=4/ctx 2856 — the entire B=4
+        # OOM), while a DUS chain aliases the donated ring in place
+        kc, vc = k_stack, v_stack
+        for i in range(b):
+            ii = jnp.int32(i)
+            kc = jax.lax.dynamic_update_slice(
+                kc, ks[:, i: i + 1, None], (z, ii, slot[i], z, z))
+            vc = jax.lax.dynamic_update_slice(
+                vc, vs[:, i: i + 1, None], (z, ii, slot[i], z, z))
     return y[:, None], {"k": kc, "v": vc}
 
 

@@ -35,12 +35,14 @@ def kv_bytes_per_session(cfg, context: int | None = None) -> int:
     return int(cfg.num_layers * per_layer * itemsize)
 
 
-# Transient multiplier on live KV bytes, measured on hardware (round
-# 5): the B=4 bf16 full-STS program asked for 16.39 GB at ctx 3000 =
-# weights 5.14 GB + 4 x 1.57 GB KV x ~1.79 (donation/init transients),
-# vs the naive weights+KV sum of 11.4 GB.  B=1/B=2 fit at full context
-# under the same model, so the factor is calibrated, not padded.
-KV_TRANSIENT = 1.8
+# Transient multiplier on live KV bytes, measured on hardware.  The
+# round-5 B=4 OOM breakdown (16.08 GB = reserved 0.26 + HLO temp 5.79 +
+# arguments 10.03) showed the "transient" was two ring-sized
+# AllocateBuffer temps from the batched `.at[:, bi, slot].set` scatter;
+# with the per-session DUS chain (nn/transformer.py) those temps are
+# gone and the budget is weights + B x KV + ~0.3 GB of real temps —
+# 1.1 covers fragmentation + the reserved region.
+KV_TRANSIENT = 1.1
 
 
 def suggest_sessions(cfg, weight_bytes: int, device=None,
