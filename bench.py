@@ -101,9 +101,9 @@ def main():
     from moshi_tpu.runtime.synth import synth_lm_params
     from moshi_tpu.utils import honest
 
-    if args.batch > 2 and "--pallas" not in __import__("sys").argv:
-        # the fused kernels are shaped for M<=2 decode; larger session
-        # batches measure faster on the XLA path (BENCH_NOTES.md)
+    if args.batch > 8 and "--pallas" not in __import__("sys").argv:
+        # the int8-MXU kernels batch m <= 8 rows (round 5); beyond that
+        # the XLA path measures faster
         args.pallas = False
     if args.pallas and jax.default_backend() != "cpu":
         from moshi_tpu.quant.formats import enable_pallas

@@ -70,7 +70,7 @@ def main():
                 _prep_int8_activation(x_ref[:], None, xq_s, xs_s, dx_s,
                                       k=K, nb=NB)
             p = unpack(w_ref, xq_s)
-            o_ref[:] = _epilogue_q4k(p, es_ref, em_ref, dx_s, xs_s)
+            o_ref[:] = _epilogue_q4k(p, es_ref, em_ref, dx_s[:], xs_s[:])
 
         wcols = K // 2 if packed else K
         return pl.pallas_call(

@@ -252,11 +252,15 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
 
     # mid-grain fusion (opt-in, VERDICT r4 item 1): out_proj + residual
     # + norm2 + GLU as ONE kernel — only on the single-row int8-MXU
-    # path, untapped (replay needs the intermediate taps) and un-TP'd
+    # path, not while a trace recorder is active (replay needs the
+    # intermediate taps; `tap` itself is always a string in production,
+    # capture() is a pass-through until a recorder turns on) and un-TP'd
     # (the psum must land between out_proj and the residual)
     from moshi_tpu.quant.pallas_fused import can_fuse_mid, fuse_mid_enabled
     from moshi_tpu.quant.pallas_matmul import _int8_dispatch
-    fuse_mid = (tap is None and tp_axis is None and fuse_mid_enabled()
+    from moshi_tpu.utils.capture import recording_active
+    fuse_mid = (not recording_active() and tp_axis is None
+                and fuse_mid_enabled()
                 and _int8_dispatch(out_w, b) and _int8_dispatch(glu_w, b)
                 and can_fuse_mid(out_w, glu_w, b))
 

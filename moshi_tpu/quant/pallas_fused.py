@@ -77,11 +77,12 @@ def can_fuse_mid(out_qt: QuantTensor, glu_qt: QuantTensor, m: int) -> bool:
 
 
 def _group_epilogue(fmt: str, packed: bool, p, comps, dx_s, xs_s):
+    dx, xs = dx_s[:], xs_s[:]
     if fmt == "q4_k":
-        return _epilogue_q4k(p, comps[1], comps[2], dx_s, xs_s)
+        return _epilogue_q4k(p, comps[1], comps[2], dx, xs)
     if fmt == "q4_0" and packed:
-        return _epilogue_q4_0_packed(p, comps[1], dx_s, xs_s)
-    return _epilogue_scale_only(p, comps[1], dx_s)
+        return _epilogue_q4_0_packed(p, comps[1], dx, xs)
+    return _epilogue_scale_only(p, comps[1], dx)
 
 
 def _mk_fused_kernel(fmts, packs, k, nb, no, ng, tile_o, tile_g,

@@ -57,10 +57,17 @@ _UNPACK_CHUNK = 512  # packed-weight unpack chunk
 
 def int8_shape_ok(qt: QuantTensor, m: int) -> bool:
     """Static eligibility of the int8-MXU kernels for this weight and
-    activation row count."""
+    activation row count.  m <= 8 rows batch into one kernel (per-row
+    block-diagonal spreads stacked on the sublane axis — round 5: B>1
+    serving used to fall off onto the VPU-bound dequant kernels)."""
     if qt.fmt not in ("q4_k", "q4_0", "q8_0"):
         return False
-    if m != 1:
+    if not (1 <= m <= 8):
+        return False
+    if m > 1 and qt.fmt in ("q4_k", "q4_0") and qt.q.dtype != jnp.uint8:
+        # unpacked-i8 STORAGE (with_i8_storage) stays a B=1 decode
+        # optimization: 2x HBM bytes lose at batch, and the m>1 callers
+        # (gating_mlp etc.) expect the XLA fallback for it
         return False
     k = qt.shape[-1]
     if k % QK:
@@ -72,10 +79,12 @@ def int8_shape_ok(qt: QuantTensor, m: int) -> bool:
         # pads in the depformer scan) — don't auto-dispatch; call
         # qmatmul_i8 directly if the weight layout is pre-padded
         return False
-    # the block-diagonal activation spread lives in VMEM as [nb_pad, k]
-    # i8 ~= k^2/32 bytes; cap it well under the 100 MB limit (real shapes
-    # are k in {1024, 4096, 11264} -> 32 KB / 512 KB / 4 MB)
-    if _pad8(k // QK) * k > 8 * 1024 * 1024:
+    # the block-diagonal activation spread lives in VMEM as
+    # [m*nb_pad, k] i8 ~= m*k^2/32 bytes; cap it well under the 100 MB
+    # limit (real shapes: k in {1024, 2048, 4096, 8448, 11264}; the cap
+    # admits the TTS class's k=8448 at m=8 while keeping the 7B
+    # linear_out's k=11264 to m <= 4)
+    if m * _pad8(k // QK) * k > 18 * 1024 * 1024:
         return False
     return True
 
@@ -93,58 +102,63 @@ def _pad8(nb: int) -> int:
 
 
 def _prep_int8_activation(x, alpha_val, xq_s, xs_s, dx_s, *, k, nb):
-    """Norm (optional) + per-32-block int8 quantization of the activation
-    row (a VALUE [1, K] — callers pass `x_ref[:]`, or an in-kernel
-    intermediate like the fused attn-out+FFN-in kernel's residual sum)
-    into VMEM scratch.  Runs once, at grid step 0.
+    """Norm (optional) + per-32-block int8 quantization of the
+    activation rows (a VALUE [m, K] — callers pass `x_ref[:]`, or an
+    in-kernel intermediate like the fused attn-out+FFN-in kernel's
+    residual sum) into VMEM scratch.  Runs once, at grid step 0.
 
-    Produces: xq_s [nb, k] i8 block-diagonal spread; dx_s [1, nb] f32
-    per-block scales; xs_s [1, nb] f32 block sums of the QUANTIZED row
-    (dx_b * sum(xq_b) — GGML's q8_1 `s` field).  The min/zero-point
-    epilogue terms must consume the same x_quant the MXU term does, so
-    the whole kernel computes exactly x_quant @ W_deq.T and the
-    activation-quant error couples only to the CENTERED weights; exact
-    sums would couple it to the unsigned es*q part (~2x larger values)
-    and measurably amplify the noise.  The [nb, 1] -> [1, nb] turns are
-    MXU identity contractions (Mosaic has no cheap sublane<->lane
-    transpose)."""
+    Produces (per row r, at static sublane offset r*nb): xq_s
+    [m*nb, k] i8 block-diagonal spreads; dx_s/xs_s [m, nb] f32
+    per-block scales / block sums of the QUANTIZED rows (dx_b *
+    sum(xq_b) — GGML's q8_1 `s` field).  The min/zero-point epilogue
+    terms must consume the same x_quant the MXU term does, so the whole
+    kernel computes exactly x_quant @ W_deq.T and the activation-quant
+    error couples only to the CENTERED weights; exact sums would couple
+    it to the unsigned es*q part (~2x larger values) and measurably
+    amplify the noise.  The [nb, 1] -> [1, nb] turns are MXU identity
+    contractions (Mosaic has no cheap sublane<->lane transpose); the
+    per-row python loop keeps every sublane offset STATIC (no
+    vectorized modulo — a non-pow2 `%` wedges this Mosaic)."""
     x = x.astype(jnp.float32)
     if alpha_val is not None:
         ms = jnp.mean(x * x, axis=-1, keepdims=True)
         x = x * jax.lax.rsqrt(ms + 1e-8) * alpha_val.astype(jnp.float32)
-    # pass 1 (chunked): per-block max -> scales
-    m_parts = []
-    for c0 in range(0, k, _PREP_CHUNK):
-        cs = min(_PREP_CHUNK, k - c0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 1) + c0
-        mask = (cols // QK) == rows
-        xc = jnp.where(mask, x[:, c0:c0 + cs], 0.0)
-        m_parts.append(jnp.max(jnp.abs(xc), axis=1, keepdims=True))
-    m = functools.reduce(jnp.maximum, m_parts)
-    dx = jnp.where(m > 0, m / 127.0, 1.0)                  # [nb, 1]
-    # pass 2 (chunked): quantize the spread into i8 scratch; accumulate
-    # the quantized block sums
-    qs_parts = []
-    for c0 in range(0, k, _PREP_CHUNK):
-        cs = min(_PREP_CHUNK, k - c0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 1) + c0
-        mask = (cols // QK) == rows
-        xc = jnp.where(mask, x[:, c0:c0 + cs], 0.0)
-        xqf = jnp.round(xc / dx)
-        qs_parts.append(jnp.sum(xqf, axis=1, keepdims=True))
-        xq_s[:, c0:c0 + cs] = xqf.astype(jnp.int8)
-    xs_col = functools.reduce(jnp.add, qs_parts) * dx      # [nb, 1]
+    m_rows = x.shape[0]
     ri = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     ident = (ri == ci).astype(jnp.float32)
-    xs_s[:] = jax.lax.dot_general(
-        xs_col, ident, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dx_s[:] = jax.lax.dot_general(
-        dx, ident, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    for r in range(m_rows):
+        xr = x[r: r + 1]
+        # pass 1 (chunked): per-block max -> scales
+        m_parts = []
+        for c0 in range(0, k, _PREP_CHUNK):
+            cs = min(_PREP_CHUNK, k - c0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 1) + c0
+            mask = (cols // QK) == rows
+            xc = jnp.where(mask, xr[:, c0:c0 + cs], 0.0)
+            m_parts.append(jnp.max(jnp.abs(xc), axis=1, keepdims=True))
+        mx = functools.reduce(jnp.maximum, m_parts)
+        dx = jnp.where(mx > 0, mx / 127.0, 1.0)            # [nb, 1]
+        # pass 2 (chunked): quantize the spread into i8 scratch;
+        # accumulate the quantized block sums
+        qs_parts = []
+        for c0 in range(0, k, _PREP_CHUNK):
+            cs = min(_PREP_CHUNK, k - c0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (nb, cs), 1) + c0
+            mask = (cols // QK) == rows
+            xc = jnp.where(mask, xr[:, c0:c0 + cs], 0.0)
+            xqf = jnp.round(xc / dx)
+            qs_parts.append(jnp.sum(xqf, axis=1, keepdims=True))
+            xq_s[r * nb:(r + 1) * nb, c0:c0 + cs] = xqf.astype(jnp.int8)
+        xs_col = functools.reduce(jnp.add, qs_parts) * dx  # [nb, 1]
+        xs_s[r: r + 1, :] = jax.lax.dot_general(
+            xs_col, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_s[r: r + 1, :] = jax.lax.dot_general(
+            dx, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _int8_partial_dots(w_ref, xq_s, *, k, packed):
@@ -163,7 +177,9 @@ def _int8_partial_dots(w_ref, xq_s, *, k, packed):
         cs = min(_UNPACK_CHUNK, k2 - c0)
         pk = w_ref[:, c0:c0 + cs].astype(jnp.int32)
         lo = (pk & 15).astype(jnp.int8)
-        hi = ((pk >> 4) & 15).astype(jnp.int8)
+        # u8 source: after the convert pk is 0..255, so >>4 is already
+        # 0..15 — no mask needed (round-5 unpack probe U1, -2.6%)
+        hi = (pk >> 4).astype(jnp.int8)
         acc += jax.lax.dot_general(
             lo, xq_s[:, c0:c0 + cs], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -173,33 +189,37 @@ def _int8_partial_dots(w_ref, xq_s, *, k, packed):
     return acc
 
 
-def _epilogue_q4k(p, es_ref, em_ref, dx_s, xs_s):
-    pf = p.astype(jnp.float32) * dx_s[:]
+def _epilogue_q4k(p, es_ref, em_ref, dx, xs):
+    """p [TO, nb] i32, dx/xs [1, nb] f32 values -> y [TO, 1]."""
+    pf = p.astype(jnp.float32) * dx
     y = (es_ref[:].astype(jnp.float32) * pf
-         - em_ref[:].astype(jnp.float32) * xs_s[:])
+         - em_ref[:].astype(jnp.float32) * xs)
     return jnp.sum(y, axis=1, keepdims=True)
 
 
-def _epilogue_scale_only(p, d_ref, dx_s):
-    pf = p.astype(jnp.float32) * dx_s[:]
+def _epilogue_scale_only(p, d_ref, dx):
+    pf = p.astype(jnp.float32) * dx
     return jnp.sum(d_ref[:].astype(jnp.float32) * pf, axis=1,
                    keepdims=True)
 
 
-def _epilogue_q4_0_packed(p, d_ref, dx_s, xs_s):
+def _epilogue_q4_0_packed(p, d_ref, dx, xs):
     """Packed q4_0 keeps UNSIGNED nibbles (value = d*(q - 8)); fold the
     -8 zero point through the exact f32 block sums:
     y[o] = sum_b d[o,b] * (dx[b]*P[o,b] - 8*xs[b])."""
-    pf = p.astype(jnp.float32) * dx_s[:] - 8.0 * xs_s[:]
+    pf = p.astype(jnp.float32) * dx - 8.0 * xs
     return jnp.sum(d_ref[:].astype(jnp.float32) * pf, axis=1,
                    keepdims=True)
 
 
 def _mk_kernel(fmt: str, k: int, nb: int, packed: bool, fuse_norm: bool,
-               glu: bool):
+               glu: bool, m: int = 1):
     """Build the kernel body.  Ref order after the scalar-prefetch layer
     index: x, [alpha], weight components (q, scales...) — twice for
-    glu —, out, then scratch (xq, xs, dx)."""
+    glu —, out, then scratch (xq, xs, dx).  `m` rows batch: the spread
+    scratch stacks per-row block diagonals, ONE MXU contraction yields
+    every row's partial dots, and the epilogue loops rows at static
+    offsets writing o_ref [TO, m] columns."""
     two_scale = fmt == "q4_k"
     zp8 = fmt == "q4_0" and packed   # unsigned nibbles, -8 zero point
     nw = 3 if two_scale else 2
@@ -225,20 +245,26 @@ def _mk_kernel(fmt: str, k: int, nb: int, packed: bool, fuse_norm: bool,
             _prep_int8_activation(x_ref[:], alpha_val, xq_s, xs_s, dx_s,
                                   k=k, nb=nb)
 
-        ys = []
-        for g in groups:
-            p = _int8_partial_dots(g[0], xq_s, k=k, packed=packed)
+        def row_y(g, p, r):
+            pr = p[:, r * nb:(r + 1) * nb]
+            dx = dx_s[r: r + 1, :]
+            xs = xs_s[r: r + 1, :]
             if two_scale:
-                ys.append(_epilogue_q4k(p, g[1], g[2], dx_s, xs_s))
-            elif zp8:
-                ys.append(_epilogue_q4_0_packed(p, g[1], dx_s, xs_s))
+                return _epilogue_q4k(pr, g[1], g[2], dx, xs)
+            if zp8:
+                return _epilogue_q4_0_packed(pr, g[1], dx, xs)
+            return _epilogue_scale_only(pr, g[1], dx)
+
+        ps = [_int8_partial_dots(g[0], xq_s, k=k, packed=packed)
+              for g in groups]                 # [TO, m*nb] each
+        for r in range(m):
+            if glu:
+                gate = row_y(groups[0], ps[0], r)
+                val = row_y(groups[1], ps[1], r)
+                yr = gate * (1.0 / (1.0 + jnp.exp(-gate))) * val
             else:
-                ys.append(_epilogue_scale_only(p, g[1], dx_s))
-        if glu:
-            gate, val = ys
-            o_ref[:] = gate * (1.0 / (1.0 + jnp.exp(-gate))) * val
-        else:
-            o_ref[:] = ys[0]
+                yr = row_y(groups[0], ps[0], r)
+            o_ref[:, r: r + 1] = yr
 
     return kernel
 
@@ -269,7 +295,7 @@ def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
     k = orig_shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    assert m == 1, "int8 kernels are single-row (checked by int8_shape_ok)"
+    assert 1 <= m <= 8, "int8 kernels batch m <= 8 (int8_shape_ok)"
     nb = k // QK
     o_full = qt.q.shape[-2]
     o = o_full // 2 if glu else o_full
@@ -281,9 +307,9 @@ def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
                        (1,)).astype(jnp.int32)
     fuse = alpha is not None
 
-    x_spec = pl.BlockSpec((1, k), lambda i, s: (0, 0),
+    x_spec = pl.BlockSpec((m, k), lambda i, s: (0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile, 1), lambda i, s: (i, 0),
+    out_spec = pl.BlockSpec((tile, m), lambda i, s: (i, 0),
                             memory_space=pltpu.VMEM)
     norm_inputs = ()
     norm_specs = []
@@ -328,29 +354,29 @@ def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
             w_inputs.append(comp)
             w_specs.append(wspec(cols, off))
 
-    kernel = _mk_kernel(qt.fmt, k, nb_pad, packed, fuse, glu)
+    kernel = _mk_kernel(qt.fmt, k, nb_pad, packed, fuse, glu, m=m)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[x_spec] + norm_specs + w_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((nb_pad, k), jnp.int8),
-            pltpu.VMEM((1, nb_pad), jnp.float32),
-            pltpu.VMEM((1, nb_pad), jnp.float32),
+            pltpu.VMEM((m * nb_pad, k), jnp.int8),
+            pltpu.VMEM((m, nb_pad), jnp.float32),
+            pltpu.VMEM((m, nb_pad), jnp.float32),
         ],
     )
     cost = pl.CostEstimate(
-        flops=2 * nb * k * o * (2 if glu else 1),
-        bytes_accessed=qt.nbytes // nl + k * 4 + o * 4,
-        transcendentals=o if glu else 0)
+        flops=2 * m * nb * k * o * (2 if glu else 1),
+        bytes_accessed=qt.nbytes // nl + m * k * 4 + m * o * 4,
+        transcendentals=m * o if glu else 0)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((o, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((o, m), jnp.float32),
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lidx, x2, *norm_inputs, *w_inputs)
-    return y.reshape(orig_shape[:-1] + (o,))
+    return y.T.reshape(orig_shape[:-1] + (o,))

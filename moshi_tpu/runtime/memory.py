@@ -35,14 +35,15 @@ def kv_bytes_per_session(cfg, context: int | None = None) -> int:
     return int(cfg.num_layers * per_layer * itemsize)
 
 
-# Transient multiplier on live KV bytes, measured on hardware.  The
-# round-5 B=4 OOM breakdown (16.08 GB = reserved 0.26 + HLO temp 5.79 +
-# arguments 10.03) showed the "transient" was two ring-sized
-# AllocateBuffer temps from the batched `.at[:, bi, slot].set` scatter;
-# with the per-session DUS chain (nn/transformer.py) those temps are
-# gone and the budget is weights + B x KV + ~0.3 GB of real temps —
-# 1.1 covers fragmentation + the reserved region.
-KV_TRANSIENT = 1.1
+# Transient multiplier on live KV bytes, measured on hardware (round-5
+# B=4 OOM breakdowns).  XLA double-buffers the KV rings across the
+# frame step regardless of donation (HLO temps of exactly one extra
+# k+v ring pair, 2 x 2.93 GB at B=4/ctx 3000, with output<->argument
+# aliasing otherwise intact; both the batched scatter and the
+# per-session DUS chain show it), so the budget is
+# weights + 2 x (B x KV) + reserved ~0.26 GB.  2.05 = the measured
+# double-buffer plus fragmentation margin.
+KV_TRANSIENT = 2.05
 
 
 def suggest_sessions(cfg, weight_bytes: int, device=None,

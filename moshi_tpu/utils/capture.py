@@ -31,6 +31,13 @@ def _debug_sums_on() -> bool:
     return bool(os.environ.get("MOSHI_TPU_DEBUG_SUMS"))
 
 
+def recording_active() -> bool:
+    """True while a TraceRecorder is active (trace-time check — kernels
+    that skip intermediate taps, like the fused attn-out+FFN-in path,
+    must fall back to the unfused tapped ops while recording)."""
+    return _ACTIVE is not None or _debug_sums_on()
+
+
 def capture(name: str, value):
     """Record `value` under `name` if a TraceRecorder is active.
     Identity pass-through; zero cost when tracing is off (the check is a

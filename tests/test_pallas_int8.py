@@ -129,7 +129,57 @@ def test_int8_dispatch_routing(rng):
 def test_int8_shape_gates(rng):
     qt = quantize(rng.normal(size=(O, K)).astype(np.float32), "q4_k")
     assert int8_shape_ok(qt, 1)
-    assert not int8_shape_ok(qt, 4)          # decode only
+    assert int8_shape_ok(qt, 4)              # batched decode (round 5)
+    assert int8_shape_ok(qt, 8)
+    assert not int8_shape_ok(qt, 9)          # spread scratch cap
+    big = quantize(rng.normal(size=(64, 11264)).astype(np.float32) * 0.05,
+                   "q4_k")
+    assert int8_shape_ok(big, 4)             # 7B linear_out: m <= 4
+    assert not int8_shape_ok(big, 8)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("m", [2, 3, 8])
+def test_int8_batched_rows_match_oracle(rng, fmt, m):
+    """m <= 8 activation rows batch into ONE kernel (stacked per-row
+    block-diagonal spreads); each row must equal its single-row run."""
+    w = rng.normal(size=(O, K)).astype(np.float32)
+    x = rng.normal(size=(m, K)).astype(np.float32)
+    qt = quantize(w, fmt)
+    assert int8_shape_ok(qt, m)
+    y = np.asarray(qmatmul_i8(jnp.asarray(x), qt, interpret=True))
+    assert y.shape == (m, O)
+    for r in range(m):
+        y1 = np.asarray(qmatmul_i8(jnp.asarray(x[r: r + 1]), qt,
+                                   interpret=True))
+        np.testing.assert_allclose(y[r: r + 1], y1, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_batched_glu_matches(rng):
+    h, m = 512, 4
+    w = rng.normal(size=(2 * h, K)).astype(np.float32)
+    x = rng.normal(size=(m, K)).astype(np.float32)
+    alpha = rng.uniform(0.5, 1.5, (K,)).astype(np.float32)
+    qt = quantize(w, "q4_k")
+    y = np.asarray(glu_matmul_i8(jnp.asarray(x), qt,
+                                 alpha=jnp.asarray(alpha),
+                                 interpret=True))
+    assert y.shape == (m, h)
+    for r in range(m):
+        y1 = np.asarray(glu_matmul_i8(jnp.asarray(x[r: r + 1]), qt,
+                                      alpha=jnp.asarray(alpha),
+                                      interpret=True))
+        np.testing.assert_allclose(y[r: r + 1], y1, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_batched_lowers_for_tpu(rng):
+    qt = quantize(rng.normal(size=(O, K)).astype(np.float32), "q4_k")
+    x = jnp.zeros((4, K), jnp.float32)
+
+    def f(xx):
+        return qmatmul_i8(xx, qt)
+
+    jax.jit(f).trace(x).lower(lowering_platforms=("tpu",))
 
 
 @pytest.mark.parametrize("fmt", ["q8_0", "q4_0"])

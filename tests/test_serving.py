@@ -102,16 +102,15 @@ def test_auto_shrink_context():
     w = int(5.14e9)
     c1, shrunk, ctx = auto_shrink_context(cfg, w, sessions=1)
     assert not shrunk and c1.context == cfg.context
-    # B=4 fits at full context now that the ring scatter temps are gone
-    c4, shrunk4, _ = auto_shrink_context(cfg, w, sessions=4)
-    assert not shrunk4 and c4.context == cfg.context
-    c8, shrunk8, ctx8 = auto_shrink_context(cfg, w, sessions=8)
-    assert shrunk8 and 8 <= c8.context < cfg.context
-    assert ctx8 == c8.context and ctx8 % 8 == 0
-    # the shrunk config's KV + weights fit the calibrated budget
+    c2, shrunk2, _ = auto_shrink_context(cfg, w, sessions=2)
+    assert not shrunk2 and c2.context == cfg.context   # B=2 runs at 3000
+    c4, shrunk4, ctx4 = auto_shrink_context(cfg, w, sessions=4)
+    assert shrunk4 and 8 <= c4.context < cfg.context
+    assert ctx4 == c4.context and ctx4 % 8 == 0
+    # the shrunk config's KV (live + XLA double-buffer) + weights fit
     from moshi_tpu.runtime.memory import (KV_TRANSIENT, hbm_bytes,
                                           kv_bytes_per_session)
-    total = w + 8 * kv_bytes_per_session(c8) * KV_TRANSIENT
+    total = w + 4 * kv_bytes_per_session(c4) * KV_TRANSIENT
     assert total <= hbm_bytes() * 0.95
 
 
