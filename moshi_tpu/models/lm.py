@@ -618,6 +618,22 @@ def _depformer_generate_stacked(cfg: LMConfig, norms, text_emb,
     kv0 = (jnp.zeros((nl, b, cap, nh, hd), kv_dt),
            jnp.zeros((nl, b, cap, nh, hd), kv_dt))
     use_rope = bool(dcfg.rope_max_period)
+    # mid-grain fusion for the depformer layers too (the same
+    # out_proj+residual+norm2+GLU merge as the temporal stack; on the
+    # 7B this removes dep_q x L = 48 launches/frame) — flat (step,
+    # layer) indices feed the fused kernel's scalar-prefetch row maps
+    from moshi_tpu.quant.formats import QuantTensor as _QT_
+    from moshi_tpu.quant.pallas_fused import (attn_ffn_fused_i8,
+                                              can_fuse_mid,
+                                              fuse_mid_enabled)
+    from moshi_tpu.quant.pallas_matmul import _int8_dispatch
+    from moshi_tpu.utils.capture import recording_active
+    fuse_mid = (tp_axis is None and fuse_mid_enabled()
+                and not recording_active()
+                and isinstance(attn_out, _QT_) and isinstance(glu_in, _QT_)
+                and _int8_dispatch(attn_out, b)
+                and _int8_dispatch(glu_in, b)
+                and can_fuse_mid(attn_out, glu_in, b))
 
     def step(carry, xs):
         prev_token, (k_stack, v_stack) = carry
@@ -653,6 +669,14 @@ def _depformer_generate_stacked(cfg: LMConfig, norms, text_emb,
                 q.astype(jnp.bfloat16), k_stack, v_stack,
                 k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
                 offset_b, l, cap=cap, context=dcfg.context)
+            if fuse_mid:
+                g, h_mid = attn_ffn_fused_i8(
+                    attn.reshape(b, ddl).astype(jnp.bfloat16), hh,
+                    attn_out, glu_in, n2t, n)
+                ffn = qmatmul_pallas_stacked(
+                    g.astype(jnp.bfloat16), glu_out, n)
+                hh = (h_mid + ffn).astype(hh.dtype)
+                return hh, (k_new.astype(kv_dt), v_new.astype(kv_dt))
             o = qmatmul_pallas_stacked(
                 attn.reshape(b, ddl).astype(jnp.bfloat16), attn_out, n)
             if tp_axis is not None:

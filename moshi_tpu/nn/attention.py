@@ -83,6 +83,14 @@ def ring_insert(cache: jnp.ndarray, values: jnp.ndarray, positions: jnp.ndarray,
     wrap-around path falls back to scatter."""
     b, t = values.shape[:2]
     slots = positions % cap
+    if t == 1 and cache.ndim == 4:
+        from moshi_tpu.quant.formats import pallas_enabled
+        if pallas_enabled():
+            # aliased in-place slot write (nn/pallas_ring.py): the
+            # XLA-level DUS/scatter double-buffers the ring (full copy
+            # per frame); the pallas write moves only the touched block
+            from moshi_tpu.nn.pallas_ring import ring_write
+            return ring_write(cache, values[:, 0], slots[:, 0])
     if b == 1 and t == 1:
         # the decode hot path: one contiguous row write
         return jax.lax.dynamic_update_slice(

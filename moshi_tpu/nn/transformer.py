@@ -329,25 +329,13 @@ def _forward_stacked_decode(cfg: TransformerConfig, params, state, x,
         body, x[:, 0], jnp.arange(cfg.num_layers, dtype=jnp.int32),
         unroll=SCAN_UNROLL)
     slot = (offset % cfg.mha.cap).astype(jnp.int32)
-    z = jnp.int32(0)
-    if b == 1:
-        kc = jax.lax.dynamic_update_slice(
-            k_stack, ks[:, :, None], (z, z, slot[0], z, z))
-        vc = jax.lax.dynamic_update_slice(
-            v_stack, vs[:, :, None], (z, z, slot[0], z, z))
-    else:
-        # per-session dynamic_update_slice chain, NOT a batched scatter:
-        # `.at[:, bi, slot].set` lowers to a gather+scatter that
-        # allocates a full ring-sized HLO temp per cache (measured:
-        # 2x 2.79 GB AllocateBuffer at B=4/ctx 2856 — the entire B=4
-        # OOM), while a DUS chain aliases the donated ring in place
-        kc, vc = k_stack, v_stack
-        for i in range(b):
-            ii = jnp.int32(i)
-            kc = jax.lax.dynamic_update_slice(
-                kc, ks[:, i: i + 1, None], (z, ii, slot[i], z, z))
-            vc = jax.lax.dynamic_update_slice(
-                vc, vs[:, i: i + 1, None], (z, ii, slot[i], z, z))
+    # aliased in-place slot write (nn/pallas_ring.py): XLA-level DUS /
+    # scatter updates double-buffer the ring (one extra k+v ring pair
+    # of HLO temps + a full ring COPY per frame — ~2.9 GB/frame hidden
+    # HBM traffic on the 7B, the entire B=4 OOM); the pallas write
+    # moves only the touched [L, 1, 1, H, hd] blocks
+    from moshi_tpu.nn.pallas_ring import ring_write_stacked
+    kc, vc = ring_write_stacked(k_stack, v_stack, ks, vs, slot)
     return y[:, None], {"k": kc, "v": vc}
 
 
