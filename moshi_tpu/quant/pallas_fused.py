@@ -66,7 +66,11 @@ def fuse_mid_enabled() -> bool:
 def can_fuse_mid(out_qt: QuantTensor, glu_qt: QuantTensor, m: int) -> bool:
     """Static eligibility: int8-MXU shapes for both weights, square
     out_proj (O == K, its output feeds the same-width residual), fused
-    2H-row GLU, single activation row."""
+    2H-row GLU, single activation row (the o_row rotation and the
+    residual re-quantization are written for one row; batched decode
+    keeps the unfused batched-int8 kernels)."""
+    if m != 1:
+        return False
     if not (int8_shape_ok(out_qt, m) and int8_shape_ok(glu_qt, m)):
         return False
     o, k = out_qt.shape[-2:]

@@ -85,6 +85,12 @@ def int8_enabled() -> bool:
 def _int8_dispatch(qt: QuantTensor, m: int) -> bool:
     if not _INT8:
         return False
+    # the batched kernels support m <= 8, but the spread-dot MACs scale
+    # with m x nb — hardware A/B: the TTS pool at m=8 measured 54 vs the
+    # f32-dequant kernels' 73 session-fps, while m<=2 decode wins.
+    # MOSHI_TPU_INT8_MAX_M overrides the auto-dispatch crossover.
+    if m > int(os.environ.get("MOSHI_TPU_INT8_MAX_M", "2")):
+        return False
     from moshi_tpu.quant.pallas_matmul_int8 import int8_shape_ok
     return int8_shape_ok(qt, m)
 
