@@ -45,6 +45,9 @@ class MimiConfig:
     transformer_context: int = 250
     transformer_hidden: int = 2048
     frames_per_step: int = 2        # 25 Hz positions per 12.5 Hz token
+    transformer_capacity: int = 0   # ring slots; 0 -> context.  The
+    # offline scan pipelines use context + chunk so multi-position
+    # prefill never evicts in-window keys (runtime/pipeline.py)
 
     @property
     def transformer(self) -> TransformerConfig:
@@ -53,6 +56,7 @@ class MimiConfig:
             num_layers=self.transformer_layers,
             hidden_dim=self.transformer_hidden,
             context=self.transformer_context,
+            capacity=self.transformer_capacity,
             norm="layer_norm", gating="", use_layer_scale=True,
             rope_max_period=10_000.0, bias_proj=False, bias_ffn=False)
 

@@ -49,6 +49,49 @@ def _scan_chunks(default=(64, 16, 4, 1)):
     return default
 
 
+def _offline_mimi(mimi: MimiModel, chunk_frames: int) -> MimiModel:
+    """A MimiModel view whose transformer rings hold context + one
+    chunk of positions: multi-position prefill then never evicts an
+    in-window key mid-call (capacity == context rings drop the oldest
+    window keys when T > 1 positions insert at once).  Same params;
+    only the state rings grow."""
+    import dataclasses
+    cap = (mimi.cfg.transformer_context
+           + chunk_frames * mimi.cfg.frames_per_step)
+    return MimiModel(dataclasses.replace(mimi.cfg,
+                                         transformer_capacity=cap))
+
+
+def _grow_rings(tr_state, offset, newcap: int):
+    """Re-slot a transformer ring state {k, v: [L, B, cap, H, hd]} into
+    a `newcap`-slot ring (position p moves from slot p % cap to slot
+    p % newcap; unwritten positions stay zero).  Lets a streaming state
+    enter the offline scan mid-stream."""
+    k = tr_state["k"]
+    l, b, oldcap, h, hd = k.shape
+    if oldcap == newcap:
+        return tr_state
+    last = jnp.asarray(offset, jnp.int32) - 1                  # [B]
+    p = last[:, None] - jnp.arange(oldcap, dtype=jnp.int32)[None, :]
+    src = jnp.where(p >= 0, p % oldcap, 0)
+    # never-written positions scatter to a sacrificial slot `newcap`
+    # (duplicate-index .set picks an arbitrary winner — a zeroed row
+    # colliding with a real slot-0 write would wipe it)
+    dst = jnp.where(p >= 0, p % newcap, newcap)
+
+    def grow(a):
+        new = jnp.zeros((l, b, newcap + 1, h, hd), a.dtype)
+        for i in range(b):
+            rows = a[:, i][:, src[i]]                # [L, oldcap, H, hd]
+            new = new.at[:, i, dst[i]].set(rows.astype(a.dtype))
+        return new[:, :, :newcap]
+
+    out = dict(tr_state)
+    out["k"] = grow(tr_state["k"])
+    out["v"] = grow(tr_state["v"])
+    return out
+
+
 class STSPipeline:
     """Full-duplex speech-to-speech: one fused step per frame."""
 
@@ -101,15 +144,109 @@ class STSPipeline:
 
         self._scan = jax.jit(scan, donate_argnums=(2,))
 
+        def lm_scan(lm_params, lm_state, others):
+            def body(st, o):
+                out, st = lm_gen_step(
+                    lm_cfg, lm_params, st, other_audio=o,
+                    temp=temp, temp_text=temp_text,
+                    top_k=top_k, top_k_text=top_k_text)
+                return st, (out["text"], out["audio"])
+            st, (t, tk) = jax.lax.scan(body, lm_state, others)
+            return t, tk, st
+
+        self._lm_scan = jax.jit(lm_scan, donate_argnums=(1,))
+        self._mimi_off = _offline_mimi(mimi, self._mimi_chunk)
+        self._off_cap = self._mimi_off.cfg.transformer.mha.cap
+        self._enc_multi = jax.jit(self._mimi_off.encode_step,
+                                  donate_argnums=(1,))
+        self._dec_multi = jax.jit(self._mimi_off.decode_step,
+                                  donate_argnums=(1,))
+
     SCAN_CHUNKS = _scan_chunks()
 
+    @property
+    def _mimi_chunk(self) -> int:
+        # batch mimi one context's worth of frames per call; with the
+        # offline rings (capacity = context + chunk) no in-window key
+        # is ever evicted mid-call
+        return max(self.mimi.cfg.transformer_context
+                   // self.mimi.cfg.frames_per_step, 1)
+
     def scan_frames(self, mimi_params, lm_params, state, audio_frames):
-        """Offline multi-frame STS: chunked lax.scans over [N, B,
-        samples] input frames — one launch per chunk (batch dialog
-        processing / the --bench scenario where every input frame is
-        known upfront; live duplex streaming still uses step()).
-        Returns (texts [N, B], audio_tokens [N, B, dep_q],
+        """Offline multi-frame STS in THREE batched phases — mimi
+        encode of ALL frames (one launch per 125-frame mimi chunk), LM
+        chunked lax.scans over the token stream, mimi decode of ALL
+        output tokens.  The round-4 design ran the full fused frame
+        inside the scan body; mimi's ~150 small conv/attn ops then
+        execute PER FRAME and dominate (~4.6 ms/frame of the 16.7 ms
+        scan frame was mimi+glue).  Offline, the encode depends only on
+        inputs and the decode only on LM outputs, so both batch over
+        time — the convs run once at T = N*1920 samples (MXU-efficient)
+        instead of N times at T = 1920.  Live duplex streaming still
+        uses step().  Returns (texts [N, B], audio_tokens [N, B, dep_q],
         audio_out [N, B, samples], state)."""
+        n, b = audio_frames.shape[0], audio_frames.shape[1]
+        fs = self.frame_samples
+        n_other = self.lm_cfg.n_q - self.lm_cfg.runtime_dep_q
+        dep_q = self.lm_cfg.runtime_dep_q
+        mimi_n_q = self.mimi.cfg.n_q
+        if n_other == 0:
+            return self._scan_fused(mimi_params, lm_params, state,
+                                    audio_frames)
+        mc = self._mimi_chunk
+        # phase 1: batched mimi encode (offline rings: re-slot a
+        # streaming state's rings into the larger offline capacity)
+        audio_bt = jnp.moveaxis(audio_frames, 0, 1)       # [B, N, fs]
+        enc_state = state["enc"]
+        if enc_state["transformer"]["k"].shape[2] != self._off_cap:
+            enc_state = dict(enc_state, transformer=_grow_rings(
+                enc_state["transformer"], enc_state["offset"],
+                self._off_cap))
+        codes_parts = []
+        for c0 in range(0, n, mc):
+            cs = min(mc, n - c0)
+            flat = audio_bt[:, c0:c0 + cs].reshape(b, cs * fs)
+            codes_c, enc_state = self._enc_multi(
+                mimi_params, enc_state, flat.astype(self.mimi_dtype))
+            codes_parts.append(codes_c)
+        codes = jnp.concatenate(codes_parts, axis=1)      # [B, N, n_q]
+        other = jnp.moveaxis(codes[..., :n_other], 1, 0)  # [N, B, n_o]
+        # phase 2: LM chunked scans
+        lm_state = state["lm"]
+        texts, toks = [], []
+        pos = 0
+        for c in _chunk_lengths(n, self.SCAN_CHUNKS):
+            t, tk, lm_state = self._lm_scan(lm_params, lm_state,
+                                            other[pos: pos + c])
+            texts.append(t)
+            toks.append(tk)
+            pos += c
+        texts = jnp.concatenate(texts, axis=0)            # [N, B]
+        toks = jnp.concatenate(toks, axis=0)              # [N, B, dep_q]
+        # phase 3: batched mimi decode of our audio tokens
+        audio_codes = jnp.where(toks < 0, 0, toks)
+        if dep_q < mimi_n_q:
+            pad = jnp.zeros(audio_codes.shape[:-1] + (mimi_n_q - dep_q,),
+                            jnp.int32)
+            audio_codes = jnp.concatenate([audio_codes, pad], axis=-1)
+        codes_bt = jnp.moveaxis(audio_codes, 0, 1)        # [B, N, n_q]
+        dec_state = state["dec"]
+        if dec_state["transformer"]["k"].shape[2] != self._off_cap:
+            dec_state = dict(dec_state, transformer=_grow_rings(
+                dec_state["transformer"], dec_state["offset"],
+                self._off_cap))
+        wav_parts = []
+        for c0 in range(0, n, mc):
+            cs = min(mc, n - c0)
+            wav_c, dec_state = self._dec_multi(
+                mimi_params, dec_state, codes_bt[:, c0:c0 + cs])
+            wav_parts.append(wav_c.reshape(b, cs, fs))
+        audio_out = jnp.moveaxis(jnp.concatenate(wav_parts, axis=1), 0, 1)
+        return texts, toks, audio_out.astype(jnp.float32), \
+            {"enc": enc_state, "lm": lm_state, "dec": dec_state}
+
+    def _scan_fused(self, mimi_params, lm_params, state, audio_frames):
+        """Per-frame fused scan (the n_other == 0 fallback)."""
         n = audio_frames.shape[0]
         outs = []
         pos = 0
@@ -175,31 +312,73 @@ class STTPipeline:
 
         self._scan = jax.jit(scan, donate_argnums=(2,))
 
+        def lm_scan(lm_params, lm_state, others):
+            def body(st, o):
+                out, st = lm_gen_step(lm_cfg, lm_params, st,
+                                      other_audio=o, temp_text=temp_text,
+                                      top_k_text=top_k_text)
+                return st, (out["sampled_text"],
+                            out.get("vad", jnp.zeros(o.shape[0],
+                                                     jnp.float32)))
+            st, (t, v) = jax.lax.scan(body, lm_state, others)
+            return t, v, st
+
+        self._lm_scan = jax.jit(lm_scan, donate_argnums=(1,))
+        self._mimi_off = _offline_mimi(mimi, self._mimi_chunk)
+        self._off_cap = self._mimi_off.cfg.transformer.mha.cap
+        self._enc_multi = jax.jit(self._mimi_off.encode_step,
+                                  donate_argnums=(1,))
+
     # fixed chunk sizes: scan length is a static shape, so arbitrary
     # inputs decompose into at most len(SCAN_CHUNKS) compiled programs
     SCAN_CHUNKS = _scan_chunks()
 
+    @property
+    def _mimi_chunk(self) -> int:
+        return max(self.mimi.cfg.transformer_context
+                   // self.mimi.cfg.frames_per_step, 1)
+
     def scan_frames(self, mimi_params, lm_params, state, audio_frames):
-        """Multi-frame transcription: lax.scan over [N, B, samples]
-        input frames — ONE device launch per chunk instead of one per
-        frame.  Offline/file transcription has every input frame
-        upfront, so nothing forces per-frame launches; on a remote-
-        dispatch link this removes the entire per-launch overhead
-        (hardware: the same 7B LM step costs 12.1 ms/frame inside a
-        scan vs ~19-20 ms as per-frame launches).  No reference analog —
-        the reference's prebuilt graphs are single-frame by design.
+        """Multi-frame transcription in TWO batched phases: mimi encode
+        of ALL input frames (one launch per 125-frame mimi chunk — the
+        convs run once at clip length instead of per frame), then the
+        LM as chunked lax.scans over the token stream.  Offline/file
+        transcription has every input frame upfront, so nothing forces
+        per-frame interleaving; the round-4 per-frame-fused scan paid
+        mimi's ~150 small ops EVERY frame.  No reference analog — the
+        reference's prebuilt graphs are single-frame by design.
         Returns (texts [N, B], vads [N, B], state)."""
-        n = audio_frames.shape[0]
+        n, b = audio_frames.shape[0], audio_frames.shape[1]
+        fs = self.frame_samples
+        n_other = self.lm_cfg.n_q - self.lm_cfg.runtime_dep_q
+        mc = self._mimi_chunk
+        audio_bt = jnp.moveaxis(audio_frames, 0, 1)       # [B, N, fs]
+        enc_state = state["enc"]
+        if enc_state["transformer"]["k"].shape[2] != self._off_cap:
+            enc_state = dict(enc_state, transformer=_grow_rings(
+                enc_state["transformer"], enc_state["offset"],
+                self._off_cap))
+        codes_parts = []
+        for c0 in range(0, n, mc):
+            cs = min(mc, n - c0)
+            flat = audio_bt[:, c0:c0 + cs].reshape(b, cs * fs)
+            codes_c, enc_state = self._enc_multi(
+                mimi_params, enc_state, flat.astype(self.mimi_dtype))
+            codes_parts.append(codes_c)
+        codes = jnp.concatenate(codes_parts, axis=1)      # [B, N, n_q]
+        other = jnp.moveaxis(codes[..., :n_other], 1, 0)  # [N, B, n_o]
+        lm_state = state["lm"]
         texts, vads = [], []
         pos = 0
         for c in _chunk_lengths(n, self.SCAN_CHUNKS):
-            t, v, state = self._scan(mimi_params, lm_params, state,
-                                     audio_frames[pos: pos + c])
+            t, v, lm_state = self._lm_scan(lm_params, lm_state,
+                                           other[pos: pos + c])
             texts.append(t)
             vads.append(v)
             pos += c
         return (jnp.concatenate(texts, axis=0),
-                jnp.concatenate(vads, axis=0), state)
+                jnp.concatenate(vads, axis=0),
+                {"enc": enc_state, "lm": lm_state})
 
     def init_state(self, batch: int, key=None, lm_params=None):
         return {
