@@ -86,10 +86,11 @@ def _int8_dispatch(qt: QuantTensor, m: int) -> bool:
     if not _INT8:
         return False
     # the batched kernels support m <= 8, but the spread-dot MACs scale
-    # with m x nb — hardware A/B: the TTS pool at m=8 measured 54 vs the
-    # f32-dequant kernels' 73 session-fps, while m<=2 decode wins.
-    # MOSHI_TPU_INT8_MAX_M overrides the auto-dispatch crossover.
-    if m > int(os.environ.get("MOSHI_TPU_INT8_MAX_M", "2")):
+    # with m x nb — hardware A/Bs: B=2 full-STS windowed-8 33.7 ms on
+    # the m=2 kernels vs 30.2 on the f32-dequant path, and the TTS pool
+    # at m=8 measured 54 vs 73 session-fps.  Auto-dispatch stays m == 1
+    # (where int8 wins 1.25x); MOSHI_TPU_INT8_MAX_M raises the cap.
+    if m > int(os.environ.get("MOSHI_TPU_INT8_MAX_M", "1")):
         return False
     from moshi_tpu.quant.pallas_matmul_int8 import int8_shape_ok
     return int8_shape_ok(qt, m)
