@@ -113,12 +113,14 @@ def main(argv=None):
         # time the real pass; fetching the text arrays closes the clock.
         frames_arr = jnp.asarray(
             audio[: n * FRAME_SIZE].reshape(n, 1, FRAME_SIZE))
+        # warm EVERY program of the timed pass, including the batched
+        # mimi chunks of the three-phase scan (a warm pass over the
+        # full input; compiles are excluded from timing)
         warm_state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
-        for c in set(pipe.SCAN_CHUNKS):
-            if c <= n:
-                t, _, warm_state = pipe.scan_frames(
-                    mimi_params, lm_params, warm_state, frames_arr[:c])
-                np.asarray(t)
+        t, _, warm_state = pipe.scan_frames(
+            mimi_params, lm_params, warm_state, frames_arr)
+        np.asarray(t)
+        del warm_state
         state = pipe.init_state(1, jax.random.PRNGKey(args.seed))
         t0 = time.perf_counter()
         texts, vads, state = pipe.scan_frames(mimi_params, lm_params,
