@@ -108,6 +108,28 @@ def ring_insert(cache: jnp.ndarray, values: jnp.ndarray, positions: jnp.ndarray,
                 out, values[i: i + 1].astype(cache.dtype),
                 (jnp.int32(i), slots[i, 0].astype(jnp.int32)) + tail)
         return out
+    cap_n = cache.shape[1]
+    if t > 1 and t * cap_n <= 1 << 20:
+        # multi-position prefill: scatter-free one-hot insert — XLA TPU
+        # lowers scatter to a sequential update loop (~ms per ring),
+        # while onehot-contract + select are dense vector ops.  Handles
+        # arbitrary slot patterns (ring wrap included); later positions
+        # win collisions via the reversed argmax trick below.
+        j = jnp.arange(cap_n, dtype=jnp.int32)
+        # for duplicate slots (t > cap wrap) the LAST write must win:
+        # pick, per slot, the largest i with slots[b, i] == j
+        hit = slots[:, None, :] == j[None, :, None]        # [B, cap, T]
+        order = jnp.arange(t, dtype=jnp.int32)[None, None, :]
+        winner = jnp.argmax(jnp.where(hit, order, -1), axis=-1)
+        written = jnp.any(hit, axis=-1)                    # [B, cap]
+        # contract in f32 (exact: 0/1 multipliers), store in ring dtype
+        onehot = (jnp.arange(t, dtype=jnp.int32)[None, None, :]
+                  == winner[..., None]).astype(jnp.float32)  # [B,cap,T]
+        vflat = values.reshape(b, t, -1).astype(jnp.float32)
+        ins = jnp.einsum("bct,btf->bcf", onehot, vflat)
+        ins = ins.reshape((b, cap_n) + cache.shape[2:]).astype(cache.dtype)
+        mask = written.reshape((b, cap_n) + (1,) * (cache.ndim - 2))
+        return jnp.where(mask, ins, cache)
     batch_idx = jnp.arange(b, dtype=slots.dtype)[:, None]
     return cache.at[batch_idx, slots].set(values.astype(cache.dtype))
 
