@@ -166,6 +166,9 @@ def run(step, init_state, inputs, *, frames: int, warmup: int,
         say(f"windowed (depth {window}) {windowed_ms:.2f} ms/frame")
 
     final_digest = float(np.asarray(chained))
+    # free the main state BEFORE the validation runs build fresh ones:
+    # at B=4 two live 7B states (2 x 5.9 GB rings) + weights exceed HBM
+    del state
 
     checks = {}
     checks["digest_finite"] = bool(np.isfinite(final_digest))
@@ -186,7 +189,9 @@ def run(step, init_state, inputs, *, frames: int, warmup: int,
             c = jnp.float32(0.0)
             for x in run_inputs:
                 s, c, _ = step(s, c, x)
-            return float(np.asarray(c))
+            out = float(np.asarray(c))
+            del s           # free before the next validation state
+            return out
 
         d1, d2, d3 = short(va), short(va), short(vb)
         checks["deterministic"] = bool(d1 == d2)
