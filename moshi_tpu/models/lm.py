@@ -821,8 +821,11 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
 
         shared = {"norm1": dep["layers"]["norm1"],
                   "norm2": dep["layers"]["norm2"]}
+        # unrolled for the same reason as the step scan below: dense
+        # per-layer weight xs slices are full copies otherwise
         y, new_kv = jax.lax.scan(layer_body, x,
-                                 (shared, w["attn"], w["gating"], kv))
+                                 (shared, w["attn"], w["gating"], kv),
+                                 unroll=dcfg.num_layers)
         from moshi_tpu.utils.capture import capture as _cap
         logits = _cap("lm/dep/logits",
                       linear(w["linears"], y[:, 0]).astype(jnp.float32))
@@ -834,8 +837,16 @@ def depformer_generate(cfg: LMConfig, params, transformer_out, text_token,
     if cfg.dep_q > 1:
         xs["emb"] = step_w["emb"]
     init = (text_token, kv0)  # prev_token unused at cb=0
+    # dense weights-per-step sets: the step scan's xs slices copy each
+    # step's FULL weight set per frame (~2.2 GB/frame on the TTS-class
+    # bf16 depformer) — unroll so the slices are static reads (same fix
+    # as the dense temporal stack, nn/transformer.py; hardware: STT
+    # temporal 155.5 -> 234.6 fps)
+    from moshi_tpu.nn.transformer import SCAN_UNROLL as _SU
+    dep_unroll = dep_q if _SU == 1 else _SU
     (_, _), tokens = jax.lax.scan(
-        step, init, (jnp.arange(dep_q, dtype=jnp.int32), keys, xs))
+        step, init, (jnp.arange(dep_q, dtype=jnp.int32), keys, xs),
+        unroll=dep_unroll)
     return jnp.moveaxis(tokens, 0, 1)                       # [B, dep_q]
 
 

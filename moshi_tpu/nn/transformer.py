@@ -455,6 +455,17 @@ def transformer_forward(cfg: TransformerConfig, params, state, x, offset,
     from moshi_tpu.nn.attention import attn_shared
     shared = attn_shared(cfg.mha, offset, x.shape[1])
     unroll = SCAN_UNROLL
+    from moshi_tpu.quant.formats import QuantTensor as _QT
+    if (unroll == 1
+            and not isinstance(layers["self_attn"]["in_proj"].get("weight"),
+                               _QT)):
+        # dense (bf16/f32) stacks: lax.scan over weight xs dynamic-
+        # slices a FULL per-layer weight copy every frame — for the
+        # 1b-class STT that doubles HBM traffic (hardware: 155.5 ->
+        # 234.6 fps fully unrolled).  Unroll so the slices are static
+        # reads.  Quantized stacks take the scalar-prefetch stacked
+        # path and never slice; MOSHI_TPU_SCAN_UNROLL still overrides.
+        unroll = cfg.num_layers
     if cross_kv is None:
         def body(h, xs):
             lp, kv_l = xs
