@@ -269,6 +269,165 @@ def _mk_kernel(fmt: str, k: int, nb: int, packed: bool, fuse_norm: bool,
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# pair-order grouped spread (opt-in MOSHI_TPU_SPLIT_SPREAD=1)
+#
+# The standard kernel contracts every unpack chunk against ALL nb_pad
+# spread rows — O x nb x K MACs even though each chunk only touches
+# nb/(K/chunk) blocks.  For K=11264 (the 7B linear_out, nb=352 -> three
+# 128-lane MXU tiles per chunk) that is 44% of the frame's spread MACs.
+# This variant lays the spread out in PAIR-ORDER groups: each group of
+# 2048 packed columns owns 64 lo-blocks + 64 hi-blocks = exactly 128
+# rows at a 128-aligned offset, so each chunk contracts against ONE
+# 128-row group (3x fewer MXU passes for K=11264) and every slice is
+# 128-lane / 8-sublane aligned.  Scales are gathered to the same
+# pair-order lane layout OUTSIDE the kernel (loop-invariant: XLA hoists
+# the gather out of the frame scan).
+# ---------------------------------------------------------------------------
+
+_GROUP_COLS = 2048     # packed u8 columns per group (64 lo + 64 hi blocks)
+
+
+def split_spread_enabled() -> bool:
+    import os
+    return os.environ.get("MOSHI_TPU_SPLIT_SPREAD", "0") == "1"
+
+
+def _split_ok(qt: QuantTensor, m: int, glu: bool) -> bool:
+    if glu or m != 1 or qt.fmt != "q4_k" or qt.q.dtype != jnp.uint8:
+        return False
+    k = qt.shape[-1]
+    k2 = k // 2
+    nb = k // QK
+    return k % QK == 0 and nb > 128 and k2 % _UNPACK_CHUNK == 0
+
+
+def _pair_nbp(k: int) -> int:
+    half_nb = (k // 2) // QK
+    return -(-half_nb // 64) * 128
+
+
+def _pair_index(k: int):
+    """numpy map: pair-order lane -> natural block index (-1 = pad)."""
+    import numpy as np
+    half_nb = (k // 2) // QK
+    nbp = _pair_nbp(k)
+    idx = np.full(nbp, -1, np.int32)
+    for b in range(half_nb):
+        g, s = divmod(b, 64)
+        idx[g * 128 + s] = b
+        idx[g * 128 + 64 + s] = half_nb + b
+    return idx
+
+
+def _pair_scales(comp, k: int):
+    """Gather a [..., nb] scale component into pair-order [..., nbp]
+    (pad lanes zero)."""
+    import numpy as np
+    idx = _pair_index(k)
+    g = jnp.take(comp, jnp.asarray(np.maximum(idx, 0)), axis=-1)
+    mask = jnp.asarray((idx >= 0), comp.dtype)
+    return g * mask
+
+
+def _prep_pair(x, alpha_val, xq_s, xs_s, dx_s, *, k, nbp):
+    """Pair-order spread prep: group g's rows [g*128, g*128+64) hold its
+    lo blocks, [+64, +128) its hi blocks; dx/xs land on matching lanes."""
+    x = x.astype(jnp.float32)
+    if alpha_val is not None:
+        ms = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(ms + 1e-8) * alpha_val.astype(jnp.float32)
+    k2 = k // 2
+    ngroups = nbp // 128
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ident = (ri == ci).astype(jnp.float32)
+    for g in range(ngroups):
+        g0 = g * _GROUP_COLS
+        gcs = min(_GROUP_COLS, k2 - g0)
+        cols = []
+        for half, base in ((0, 0), (1, k2)):
+            c0 = base + g0
+            rows = jax.lax.broadcasted_iota(jnp.int32, (64, gcs), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (64, gcs), 1)
+            mask = (cc // QK) == rows
+            xc = jnp.where(mask, x[:, c0:c0 + gcs], 0.0)
+            mx = jnp.max(jnp.abs(xc), axis=1, keepdims=True)   # [64, 1]
+            dx = jnp.where(mx > 0, mx / 127.0, 1.0)
+            xqf = jnp.round(xc / dx)
+            xs_col = jnp.sum(xqf, axis=1, keepdims=True) * dx
+            # write the FULL 128-row group: the dots contract all 128
+            # rows against this column window, so the complementary
+            # half's rows must be explicit zeros
+            z = jnp.zeros((64, gcs), jnp.int8)
+            blk = (jnp.concatenate([xqf.astype(jnp.int8), z], axis=0)
+                   if half == 0 else
+                   jnp.concatenate([z, xqf.astype(jnp.int8)], axis=0))
+            xq_s[g * 128:(g + 1) * 128, c0:c0 + gcs] = blk
+            cols.append((dx, xs_col))
+        dx_col = jnp.concatenate([cols[0][0], cols[1][0]], axis=0)
+        xs_col = jnp.concatenate([cols[0][1], cols[1][1]], axis=0)
+        dx_s[:, g * 128:(g + 1) * 128] = jax.lax.dot_general(
+            dx_col, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xs_s[:, g * 128:(g + 1) * 128] = jax.lax.dot_general(
+            xs_col, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _split_partial_dots(w_ref, xq_s, *, k, nbp):
+    """Grouped dots: each 512-col unpack chunk contracts against its
+    OWN 128-row pair-order group — [TO, cs] x [128, cs] instead of
+    [TO, cs] x [nbp, cs]."""
+    k2 = k // 2
+    to = w_ref.shape[0]
+    ngroups = nbp // 128
+    pieces = []
+    for g in range(ngroups):
+        g0 = g * _GROUP_COLS
+        gcs = min(_GROUP_COLS, k2 - g0)
+        acc = jnp.zeros((to, 128), jnp.int32)
+        rows = xq_s[g * 128:(g + 1) * 128, :]
+        for c0 in range(g0, g0 + gcs, _UNPACK_CHUNK):
+            cs = min(_UNPACK_CHUNK, g0 + gcs - c0)
+            pk = w_ref[:, c0:c0 + cs].astype(jnp.int32)
+            lo = (pk & 15).astype(jnp.int8)
+            hi = (pk >> 4).astype(jnp.int8)
+            acc += jax.lax.dot_general(
+                lo, rows[:, c0:c0 + cs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc += jax.lax.dot_general(
+                hi, rows[:, k2 + c0:k2 + c0 + cs],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        pieces.append(acc)
+    return jnp.concatenate(pieces, axis=1)           # [TO, nbp]
+
+
+def _mk_kernel_split(k: int, nbp: int, fuse_norm: bool):
+    def kernel(l_ref, *refs):
+        idx = 0
+        x_ref = refs[idx]
+        idx += 1
+        alpha_val = None
+        if fuse_norm:
+            alpha_val = refs[idx][0]
+            idx += 1
+        q_ref, es_ref, em_ref = refs[idx:idx + 3]
+        o_ref = refs[idx + 3]
+        xq_s, xs_s, dx_s = refs[idx + 4:idx + 7]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            _prep_pair(x_ref[:], alpha_val, xq_s, xs_s, dx_s,
+                       k=k, nbp=nbp)
+
+        p = _split_partial_dots(q_ref, xq_s, k=k, nbp=nbp)
+        o_ref[:] = _epilogue_q4k(p, es_ref, em_ref, dx_s[:], xs_s[:])
+
+    return kernel
+
+
 @with_interpret_default
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmatmul_i8(x: jnp.ndarray, qt: QuantTensor, layer=None, alpha=None,
@@ -336,6 +495,40 @@ def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
         if nb_pad == nb:
             return c
         return jnp.pad(c, ((0, 0), (0, nb_pad - nb)))
+
+    if (not glu and split_spread_enabled() and _split_ok(qt, m, glu)):
+        qt = qt.with_eff_scales()
+        nbp = _pair_nbp(k)
+        comps = (_flat2(qt.q), _flat2(_pair_scales(qt.es, k)),
+                 _flat2(_pair_scales(qt.em, k)))
+        w_inputs = list(comps)
+        w_specs = [wspec(c, 0) for c in (qcols, nbp, nbp)]
+        kernel = _mk_kernel_split(k, nbp, fuse)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[x_spec] + norm_specs + w_specs,
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((nbp, k), jnp.int8),
+                pltpu.VMEM((1, nbp), jnp.float32),
+                pltpu.VMEM((1, nbp), jnp.float32),
+            ],
+        )
+        cost = pl.CostEstimate(
+            flops=2 * 128 * k * o,
+            bytes_accessed=qt.nbytes // nl + k * 4 + o * 4,
+            transcendentals=0)
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((o, 1), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lidx, x2, *norm_inputs, *w_inputs)
+        return y.T.reshape(orig_shape[:-1] + (o,))
 
     if qt.fmt == "q4_k":
         qt = qt.with_eff_scales()

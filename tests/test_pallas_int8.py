@@ -172,6 +172,65 @@ def test_int8_batched_glu_matches(rng):
         np.testing.assert_allclose(y[r: r + 1], y1, rtol=1e-5, atol=1e-5)
 
 
+def test_split_spread_matches_standard(rng, monkeypatch):
+    """MOSHI_TPU_SPLIT_SPREAD=1 (pair-order grouped spread): identical
+    results to the standard kernel — same activation quantization, same
+    epilogue, only the spread layout and dot grouping change.  K=9216
+    (nb=288 > 128, half_nb=144) exercises a partial last group."""
+    from moshi_tpu.quant.pallas_matmul_int8 import _split_ok
+    k, o = 9216, 256
+    w = rng.normal(size=(o, k)).astype(np.float32) * 0.05
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    alpha = rng.uniform(0.5, 1.5, (k,)).astype(np.float32)
+    qt = quantize(w, "q4_k")
+    assert _split_ok(qt, 1, False)
+    y_std = np.asarray(qmatmul_i8(jnp.asarray(x), qt, interpret=True))
+    yn_std = np.asarray(qmatmul_i8(jnp.asarray(x), qt,
+                                   alpha=jnp.asarray(alpha),
+                                   interpret=True))
+    monkeypatch.setenv("MOSHI_TPU_SPLIT_SPREAD", "1")
+    jax.clear_caches()
+    try:
+        y_sp = np.asarray(qmatmul_i8(jnp.asarray(x), qt, interpret=True))
+        yn_sp = np.asarray(qmatmul_i8(jnp.asarray(x), qt,
+                                      alpha=jnp.asarray(alpha),
+                                      interpret=True))
+    finally:
+        monkeypatch.delenv("MOSHI_TPU_SPLIT_SPREAD", raising=False)
+        jax.clear_caches()
+    np.testing.assert_allclose(y_sp, y_std, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(yn_sp, yn_std, rtol=1e-5, atol=1e-5)
+
+
+def test_split_spread_stacked_and_lowers(rng, monkeypatch):
+    """Stacked layer indexing under the split kernel + TPU cross-lower
+    (the alignment rules are the whole point)."""
+    k, o = 9216, 256
+    ws = [rng.normal(size=(o, k)).astype(np.float32) * 0.05
+          for _ in range(2)]
+    qts = [quantize(w, "q4_k") for w in ws]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    monkeypatch.setenv("MOSHI_TPU_SPLIT_SPREAD", "1")
+    jax.clear_caches()
+    try:
+        for l in range(2):
+            ys = np.asarray(qmatmul_i8(jnp.asarray(x), stacked,
+                                       layer=jnp.int32(l), interpret=True))
+            yf = np.asarray(qmatmul_i8(jnp.asarray(x), qts[l],
+                                       interpret=True))
+            np.testing.assert_allclose(ys, yf, rtol=1e-5, atol=1e-5)
+
+        def f(xx):
+            return qmatmul_i8(xx, stacked, layer=jnp.int32(1))
+
+        jax.jit(f).trace(jnp.zeros((1, k), jnp.float32)).lower(
+            lowering_platforms=("tpu",))
+    finally:
+        monkeypatch.delenv("MOSHI_TPU_SPLIT_SPREAD", raising=False)
+        jax.clear_caches()
+
+
 def test_int8_batched_lowers_for_tpu(rng):
     qt = quantize(rng.normal(size=(O, K)).astype(np.float32), "q4_k")
     x = jnp.zeros((4, K), jnp.float32)
