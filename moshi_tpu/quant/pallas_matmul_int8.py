@@ -279,10 +279,17 @@ def _mk_kernel(fmt: str, k: int, nb: int, packed: bool, fuse_norm: bool,
 # This variant lays the spread out in PAIR-ORDER groups: each group of
 # 2048 packed columns owns 64 lo-blocks + 64 hi-blocks = exactly 128
 # rows at a 128-aligned offset, so each chunk contracts against ONE
-# 128-row group (3x fewer MXU passes for K=11264) and every slice is
-# 128-lane / 8-sublane aligned.  Scales are gathered to the same
-# pair-order lane layout OUTSIDE the kernel (loop-invariant: XLA hoists
-# the gather out of the frame scan).
+# 128-row group (3x fewer nominal MXU passes for K=11264) and every
+# slice is 128-lane / 8-sublane aligned.  Scales are gathered to the
+# same pair-order lane layout OUTSIDE the kernel (loop-invariant: XLA
+# hoists the gather out of the frame scan).
+#
+# HARDWARE VERDICT (round 5): LOSES 2x — 7B LM-only p50 88.2 ms vs the
+# standard kernel's 42.85 (digest-valid).  The nominal-MAC reduction
+# does not survive Mosaic codegen (per-group loops break the
+# DMA/compute pipeline; the zero-padded full-group prep writes add VPU
+# passes).  Kept opt-in as a measured negative result — see
+# BENCH_NOTES.md.
 # ---------------------------------------------------------------------------
 
 _GROUP_COLS = 2048     # packed u8 columns per group (64 lo + 64 hi blocks)
