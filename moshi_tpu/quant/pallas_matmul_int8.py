@@ -435,6 +435,198 @@ def _mk_kernel_split(k: int, nbp: int, fuse_norm: bool):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# k-segment reduction grid (opt-in MOSHI_TPU_KSEG=1)
+#
+# Same MXU-pass reduction the pair-order split targets (each 512-col
+# unpack chunk contracts against ONE 128-row pair-order spread group
+# instead of all nb_pad rows — 3x fewer effective MXU passes for the 7B
+# linear_out's K=11264/nb=352), but expressed as a REDUCTION GRID
+# instead of in-kernel per-group loops: grid = (o_tiles, nsegs, 4
+# chunks), Pallas streams one (tile, 512) weight block per step, an i32
+# scratch accumulates the segment's partial dots, and the per-segment
+# epilogue accumulates into the revisited output block.  This is the
+# canonical Mosaic tiled-matmul pattern — the split-spread variant's 2x
+# hardware loss was attributed to its in-kernel group loops breaking
+# the DMA/compute pipeline, which a grid dimension cannot do.
+#
+# Layout: segment s owns packed cols [s*2048, (s+1)*2048) = 64 lo + 64
+# hi blocks as spread scratch rows [s*128, (s+1)*128) (rows +0..64 lo
+# over local cols [0, 2048), rows +64..128 hi over local cols [2048,
+# 4096)); scales are gathered OUTSIDE the kernel to the matching
+# seg-major lane order (loop-invariant, hoisted like with_eff_scales).
+# Every slice is 128-lane / 8-sublane aligned; no weight re-layout and
+# no load-time padding (a short last segment masks its tail chunks).
+# ---------------------------------------------------------------------------
+
+_SEG_CHUNKS = 4                      # 512-col chunks per segment
+_SEG_COLS = _SEG_CHUNKS * _UNPACK_CHUNK   # 2048 packed cols = 128 blocks
+
+
+def kseg_enabled() -> bool:
+    import os
+    return os.environ.get("MOSHI_TPU_KSEG", "0") == "1"
+
+
+def _kseg_ok(qt: QuantTensor, m: int, glu: bool) -> bool:
+    """Wide-K packed q4_k matvecs only: the grid reduction pays when the
+    block count exceeds one MXU lane tile (nb > 128 — the 7B
+    linear_out); narrower shapes already contract a single tile."""
+    if glu or m != 1 or qt.fmt != "q4_k" or qt.q.dtype != jnp.uint8:
+        return False
+    k = qt.shape[-1]
+    if k % QK:
+        return False
+    k2 = k // 2
+    return k // QK > 128 and k2 % _UNPACK_CHUNK == 0
+
+
+def _kseg_nsegs(k: int) -> int:
+    return -(-(k // 2) // _SEG_COLS)
+
+
+def _kseg_index(k: int):
+    """numpy map: seg-major lane -> natural block index (-1 = pad).
+    Segment s's lanes [s*128, +64) are its lo blocks [s*64, s*64+64),
+    lanes [+64, +128) the matching hi blocks [half_nb + s*64, ...)."""
+    import numpy as np
+    half_nb = (k // 2) // QK
+    nsegs = _kseg_nsegs(k)
+    idx = np.full(nsegs * 128, -1, np.int32)
+    for s in range(nsegs):
+        for j in range(64):
+            b = s * 64 + j
+            if b < half_nb:
+                idx[s * 128 + j] = b
+                idx[s * 128 + 64 + j] = half_nb + b
+    return idx
+
+
+def _kseg_scales(comp, k: int):
+    """Gather a [..., nb] scale component into seg-major [..., nsegs*128]
+    (pad lanes zero)."""
+    import numpy as np
+    idx = _kseg_index(k)
+    g = jnp.take(comp, jnp.asarray(np.maximum(idx, 0)), axis=-1)
+    mask = jnp.asarray((idx >= 0), comp.dtype)
+    return g * mask
+
+
+def _prep_kseg(x, alpha_val, xq_s, xs_s, dx_s, *, k, nsegs):
+    """Seg-major spread prep (runs once, at grid step (0, 0, 0)).  Per
+    segment: quantize its lo / hi 32-blocks, write the [128, 4096]
+    spread block (explicit zero complements — the dots contract all 128
+    rows), and turn dx / xs columns onto the matching lanes."""
+    x = x.astype(jnp.float32)
+    if alpha_val is not None:
+        ms = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(ms + 1e-8) * alpha_val.astype(jnp.float32)
+    k2 = k // 2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ident = (ri == ci).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (64, _SEG_COLS), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (64, _SEG_COLS), 1)
+    mask = (cols // QK) == rows
+    z8 = jnp.zeros((64, _SEG_COLS), jnp.int8)
+    for s in range(nsegs):
+        c0 = s * _SEG_COLS
+        w = min(_SEG_COLS, k2 - c0)
+        halves = []
+        for base in (0, k2):
+            xh = x[:, base + c0: base + c0 + w]
+            if w < _SEG_COLS:
+                xh = jnp.concatenate(
+                    [xh, jnp.zeros((1, _SEG_COLS - w), jnp.float32)],
+                    axis=1)
+            xc = jnp.where(mask, xh, 0.0)
+            mx = jnp.max(jnp.abs(xc), axis=1, keepdims=True)   # [64, 1]
+            dx = jnp.where(mx > 0, mx / 127.0, 1.0)
+            xqf = jnp.round(xc / dx)
+            xs_col = jnp.sum(xqf, axis=1, keepdims=True) * dx
+            halves.append((xqf.astype(jnp.int8), dx, xs_col))
+        blk = jnp.concatenate(
+            [jnp.concatenate([halves[0][0], z8], axis=1),
+             jnp.concatenate([z8, halves[1][0]], axis=1)], axis=0)
+        xq_s[s * 128:(s + 1) * 128, :] = blk
+        dx_col = jnp.concatenate([halves[0][1], halves[1][1]], axis=0)
+        xs_col = jnp.concatenate([halves[0][2], halves[1][2]], axis=0)
+        dx_s[0:1, s * 128:(s + 1) * 128] = jax.lax.dot_general(
+            dx_col, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xs_s[0:1, s * 128:(s + 1) * 128] = jax.lax.dot_general(
+            xs_col, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _mk_kernel_kseg(k: int, nsegs: int, fuse_norm: bool, tile: int):
+    k2 = k // 2
+    nchunks = k2 // _UNPACK_CHUNK
+    last_chunks = nchunks - (nsegs - 1) * _SEG_CHUNKS   # 1..4
+
+    def kernel(l_ref, *refs):
+        idx = 0
+        x_ref = refs[idx]
+        idx += 1
+        alpha_val = None
+        if fuse_norm:
+            alpha_val = refs[idx][0]
+            idx += 1
+        q_ref, es_ref, em_ref = refs[idx:idx + 3]
+        o_ref = refs[idx + 3]
+        xq_s, xs_s, dx_s, acc_s = refs[idx + 4:idx + 8]
+
+        i = pl.program_id(0)
+        sg = pl.program_id(1)
+        c = pl.program_id(2)
+        is_last_seg = sg == nsegs - 1
+        valid = jnp.logical_or(jnp.logical_not(is_last_seg),
+                               c < last_chunks)
+        last_c = jnp.where(is_last_seg, last_chunks - 1, _SEG_CHUNKS - 1)
+
+        @pl.when((i == 0) & (sg == 0) & (c == 0))
+        def _():
+            _prep_kseg(x_ref[:], alpha_val, xq_s, xs_s, dx_s,
+                       k=k, nsegs=nsegs)
+
+        @pl.when((sg == 0) & (c == 0))
+        def _():
+            o_ref[:] = jnp.zeros((tile, 1), jnp.float32)
+
+        @pl.when(valid & (c == 0))
+        def _():
+            acc_s[:] = jnp.zeros((tile, 128), jnp.int32)
+
+        @pl.when(valid)
+        def _():
+            pk = q_ref[:].astype(jnp.int32)          # (tile, 512) block
+            lo = (pk & 15).astype(jnp.int8)
+            hi = (pk >> 4).astype(jnp.int8)
+            coff = c * _UNPACK_CHUNK
+            rows_lo = xq_s[pl.ds(sg * 128, 128), pl.ds(coff, _UNPACK_CHUNK)]
+            rows_hi = xq_s[pl.ds(sg * 128, 128),
+                           pl.ds(_SEG_COLS + coff, _UNPACK_CHUNK)]
+            acc_s[:] += (
+                jax.lax.dot_general(
+                    lo, rows_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                + jax.lax.dot_general(
+                    hi, rows_hi, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32))
+
+        @pl.when(valid & (c == last_c))
+        def _():
+            pr = acc_s[:].astype(jnp.float32)
+            dx = dx_s[:, pl.ds(sg * 128, 128)]
+            xs = xs_s[:, pl.ds(sg * 128, 128)]
+            y = jnp.sum(es_ref[:].astype(jnp.float32) * (pr * dx)
+                        - em_ref[:].astype(jnp.float32) * xs,
+                        axis=1, keepdims=True)
+            o_ref[:] = o_ref[:] + y
+
+    return kernel
+
+
 @with_interpret_default
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmatmul_i8(x: jnp.ndarray, qt: QuantTensor, layer=None, alpha=None,
@@ -502,6 +694,59 @@ def _qmatmul_i8_impl(x, qt, layer, alpha, interpret, *, glu):
         if nb_pad == nb:
             return c
         return jnp.pad(c, ((0, 0), (0, nb_pad - nb)))
+
+    if (not glu and kseg_enabled() and _kseg_ok(qt, m, glu)):
+        qt = qt.with_eff_scales()
+        nsegs = _kseg_nsegs(k)
+        k2 = k // 2
+        nchunks = k2 // _UNPACK_CHUNK
+        comps = (_flat2(qt.q), _flat2(_kseg_scales(qt.es, k)),
+                 _flat2(_kseg_scales(qt.em, k)))
+        q_spec = pl.BlockSpec(
+            (tile, _UNPACK_CHUNK),
+            lambda i, sg, c, s: (s[0] * nblocks + i,
+                                 jnp.minimum(sg * _SEG_CHUNKS + c,
+                                             nchunks - 1)),
+            memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec(
+            (tile, 128), lambda i, sg, c, s: (s[0] * nblocks + i, sg),
+            memory_space=pltpu.VMEM)
+        x3_spec = pl.BlockSpec((m, k), lambda i, sg, c, s: (0, 0),
+                               memory_space=pltpu.VMEM)
+        out3_spec = pl.BlockSpec((tile, 1), lambda i, sg, c, s: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        norm3_specs = []
+        if fuse:
+            norm3_specs = [pl.BlockSpec(
+                (1, 1, k), lambda i, sg, c, s: (s[0], 0, 0),
+                memory_space=pltpu.VMEM)]
+        kernel = _mk_kernel_kseg(k, nsegs, fuse, tile)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks, nsegs, _SEG_CHUNKS),
+            in_specs=[x3_spec] + norm3_specs + [q_spec, sc_spec, sc_spec],
+            out_specs=out3_spec,
+            scratch_shapes=[
+                pltpu.VMEM((nsegs * 128, 2 * _SEG_COLS), jnp.int8),
+                pltpu.VMEM((1, nsegs * 128), jnp.float32),
+                pltpu.VMEM((1, nsegs * 128), jnp.float32),
+                pltpu.VMEM((tile, 128), jnp.int32),
+            ],
+        )
+        cost = pl.CostEstimate(
+            flops=2 * 128 * k * o,
+            bytes_accessed=qt.nbytes // nl + k * 4 + o * 4,
+            transcendentals=0)
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((o, 1), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lidx, x2, *norm_inputs, *comps)
+        return y.T.reshape(orig_shape[:-1] + (o,))
 
     if (not glu and split_spread_enabled() and _split_ok(qt, m, glu)):
         qt = qt.with_eff_scales()

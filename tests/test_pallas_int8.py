@@ -231,6 +231,81 @@ def test_split_spread_stacked_and_lowers(rng, monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.parametrize("k", [5120, 8192])
+@pytest.mark.parametrize("with_norm", [False, True])
+def test_kseg_matches_standard(rng, monkeypatch, k, with_norm):
+    """MOSHI_TPU_KSEG=1 (k-segment reduction grid): identical products
+    to the standard kernel — same per-32 activation quantization, same
+    epilogue terms, only the dot grouping and summation order change.
+    k=5120 (nb=160, nsegs=2 with a 1-chunk last segment) exercises the
+    masked tail; k=8192 (nb=256) is the exact-2-segment case."""
+    from moshi_tpu.quant.pallas_matmul_int8 import _kseg_ok
+    o = 256
+    w = rng.normal(size=(o, k)).astype(np.float32) * 0.05
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    alpha = (rng.uniform(0.5, 1.5, (k,)).astype(np.float32)
+             if with_norm else None)
+    qt = quantize(w, "q4_k")
+    assert _kseg_ok(qt, 1, False)
+    aj = None if alpha is None else jnp.asarray(alpha)
+    y_std = np.asarray(qmatmul_i8(jnp.asarray(x), qt, alpha=aj,
+                                  interpret=True))
+    monkeypatch.setenv("MOSHI_TPU_KSEG", "1")
+    jax.clear_caches()
+    try:
+        y_ks = np.asarray(qmatmul_i8(jnp.asarray(x), qt, alpha=aj,
+                                     interpret=True))
+    finally:
+        monkeypatch.delenv("MOSHI_TPU_KSEG", raising=False)
+        jax.clear_caches()
+    np.testing.assert_allclose(y_ks, y_std, rtol=1e-5, atol=1e-5)
+
+
+def test_kseg_stacked_and_lowers(rng, monkeypatch):
+    """Stacked layer indexing under the kseg grid + TPU cross-lower at
+    the 7B linear_out shape class (K=11264, nb=352, nsegs=3 with a
+    3-chunk last segment)."""
+    from moshi_tpu.quant.pallas_matmul_int8 import _kseg_ok
+    k, o = 11264, 256
+    ws = [rng.normal(size=(o, k)).astype(np.float32) * 0.05
+          for _ in range(2)]
+    qts = [quantize(w, "q4_k") for w in ws]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    monkeypatch.setenv("MOSHI_TPU_KSEG", "1")
+    jax.clear_caches()
+    try:
+        assert _kseg_ok(qts[0], 1, False)
+        for l in range(2):
+            ys = np.asarray(qmatmul_i8(jnp.asarray(x), stacked,
+                                       layer=jnp.int32(l), interpret=True))
+            yf = np.asarray(qmatmul_i8(jnp.asarray(x), qts[l],
+                                       interpret=True))
+            np.testing.assert_allclose(ys, yf, rtol=1e-5, atol=1e-5)
+
+        def f(xx):
+            return qmatmul_i8(xx, stacked, layer=jnp.int32(1))
+
+        jax.jit(f).trace(jnp.zeros((1, k), jnp.float32)).lower(
+            lowering_platforms=("tpu",))
+    finally:
+        monkeypatch.delenv("MOSHI_TPU_KSEG", raising=False)
+        jax.clear_caches()
+
+
+def test_kseg_ineligible_shapes(rng):
+    """nb <= 128 (already one MXU lane tile) and non-512-multiple packed
+    columns stay on the standard kernel."""
+    from moshi_tpu.quant.pallas_matmul_int8 import _kseg_ok
+    qt = quantize(rng.normal(size=(O, 4096)).astype(np.float32), "q4_k")
+    assert not _kseg_ok(qt, 1, False)        # nb = 128
+    qt2 = quantize(rng.normal(size=(O, 8448)).astype(np.float32), "q4_k")
+    assert not _kseg_ok(qt2, 1, False)       # k2 % 512 != 0
+    qt3 = quantize(rng.normal(size=(O, 11264)).astype(np.float32), "q4_k")
+    assert not _kseg_ok(qt3, 2, False)       # m == 1 only
+    assert _kseg_ok(qt3, 1, False)
+
+
 def test_int8_batched_lowers_for_tpu(rng):
     qt = quantize(rng.normal(size=(O, K)).astype(np.float32), "q4_k")
     x = jnp.zeros((4, K), jnp.float32)
