@@ -446,9 +446,20 @@ def _mk_kernel_split(k: int, nbp: int, fuse_norm: bool):
 # chunks), Pallas streams one (tile, 512) weight block per step, an i32
 # scratch accumulates the segment's partial dots, and the per-segment
 # epilogue accumulates into the revisited output block.  This is the
-# canonical Mosaic tiled-matmul pattern — the split-spread variant's 2x
-# hardware loss was attributed to its in-kernel group loops breaking
-# the DMA/compute pipeline, which a grid dimension cannot do.
+# canonical Mosaic tiled-matmul pattern — built to test whether the
+# split-spread variant's 2x hardware loss came from its in-kernel group
+# loops breaking the DMA/compute pipeline (a grid dimension cannot).
+#
+# HARDWARE VERDICT (round 5): LOSES the SAME 2x — 7B LM-only p50
+# 89.7 ms vs the standard kernel's 42.85 (digest-valid), bit-identical
+# in class to the loop-level split-spread's 88.2.  Two independent
+# expressions of the reduced-pass contraction measuring the same loss
+# retires the "loop structure" hypothesis: on this Mosaic toolchain the
+# [TO, 512] x [128, 512] chunk-vs-one-group dot shape itself is ~2x
+# slower end-to-end than contracting each chunk against ALL nb rows,
+# nominal-MAC count notwithstanding.  The full-row spread dot is a
+# sharp local optimum; both variants stay opt-in as measured negative
+# results (BENCH_NOTES.md).
 #
 # Layout: segment s owns packed cols [s*2048, (s+1)*2048) = 64 lo + 64
 # hi blocks as spread scratch rows [s*128, (s+1)*128) (rows +0..64 lo
