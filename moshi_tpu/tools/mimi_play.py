@@ -34,6 +34,15 @@ def main(argv=None):
                          "speakers loop structure of mimi-echo.cpp) "
                          "with latency/drop accounting")
     ap.add_argument("--sim-speed", type=float, default=1.0)
+    ap.add_argument("--device", nargs="?", const="auto", default=None,
+                    help="(with --echo) run LIVE mic->codec->speakers "
+                         "through an audio device backend (mimi-echo.cpp "
+                         "over common_sdl.h).  Optional value picks the "
+                         "backend (alsa / sounddevice / a registered "
+                         "shim); bare --device auto-selects.  --frames "
+                         "bounds the session (0 = until stream ends)")
+    ap.add_argument("--frames", type=int, default=0,
+                    help="(with --device) frames to run, 0 = unbounded")
     ap.add_argument("-n", "--n-q", type=int, default=32)
     ap.add_argument("-m", "--mimi-file",
                     default="tokenizer-e351c8d8-checkpoint125.safetensors")
@@ -41,6 +50,23 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.list_devices:
         list_devices()
+        return 0
+    if args.echo and args.device is not None:
+        import json
+
+        from moshi_tpu.io.audio_device import run_device_loop
+
+        model, params = load_mimi(args, n_q=args.n_q)
+        streamer = MimiStreamer(model, params)
+
+        def step(frame_np):
+            return streamer.decode(streamer.encode(frame_np[None]))[0]
+
+        step(np.zeros(FRAME_SIZE, np.float32))   # compile before going live
+        name = None if args.device == "auto" else args.device
+        rep = run_device_loop(step, name=name, max_frames=args.frames)
+        print(json.dumps({"metric": "mimi_echo_live", **rep,
+                          "backend": args.device}))
         return 0
     if args.echo:
         audio = read_audio_24k(args.input)
