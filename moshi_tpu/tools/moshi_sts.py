@@ -38,6 +38,13 @@ def main(argv=None):
                          "driver (common_sdl.h analog) with a paced "
                          "capture thread; reports sustained fps, "
                          "latency p50/p99 vs the 80 ms budget, drops")
+    ap.add_argument("--device", nargs="?", const="auto", default=None,
+                    help="LIVE full-duplex mic->moshi->speakers through "
+                         "an audio device backend (moshi-sts.cpp over "
+                         "common_sdl.h; backends: alsa / sounddevice / "
+                         "a registered shim; bare --device auto-picks). "
+                         "--frames bounds the session, 0 = until the "
+                         "stream ends")
     ap.add_argument("--sim-speed", type=float, default=1.0,
                     help="capture pacing speedup for --realtime-sim "
                          "(2.0 = frames arrive every 40 ms)")
@@ -119,6 +126,29 @@ def main(argv=None):
     def emit_text(token: int):
         if token not in (pad_id, 0, -2) and token >= 0 and tok:
             transcript.append(tok.id_to_piece(token))
+
+    if args.device is not None:
+        # LIVE full duplex (moshi-sts.cpp main loop over common_sdl.h
+        # device streams): device capture -> FIFO -> frame step ->
+        # device playback, drop/latency accounting vs the 80 ms budget
+        from moshi_tpu.io.audio_device import run_device_loop
+        st_box = [state]
+
+        def step_live(frame_np):
+            out, st_box[0] = pipe.step(mimi_params, lm_params, st_box[0],
+                                       frame_np[None])
+            emit_text(int(np.asarray(out["text"])[0]))
+            return np.asarray(out["audio_out"])[0]
+
+        step_live(np.zeros(FRAME_SIZE, np.float32))   # compile first
+        name = None if args.device == "auto" else args.device
+        rep = run_device_loop(step_live, name=name,
+                              max_frames=args.frames)
+        print(json.dumps({"metric": "sts_live_device", **rep,
+                          "backend": args.device}))
+        if transcript:
+            print("".join(transcript).replace("▁", " ").strip())
+        return 0
 
     if args.realtime_sim:
         # async-driver loop (common_sdl.h structure): paced capture

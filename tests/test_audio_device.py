@@ -192,6 +192,25 @@ def test_alsa_s16_roundtrip_and_recover():
     play.close()
 
 
+def test_moshi_sts_device_flag_live_duplex(clean_registry, capsys):
+    """`moshi-sts --device fake` runs the full-duplex pipeline live:
+    mic frames in, moshi frames out (moshi-sts.cpp over common_sdl.h)."""
+    rng = np.random.default_rng(2)
+    frames = [rng.standard_normal(FRAME_SAMPLES).astype(np.float32) * 1e-3
+              for _ in range(2)]
+    fb = FakeBackend(frames)
+    ad.register_backend("fake", lambda: fb)
+
+    from moshi_tpu.tools import moshi_sts
+    rc = moshi_sts.main(["--synthetic", "--device", "fake",
+                         "--frames", "2"])
+    assert rc == 0
+    assert len(fb.playback.written) == 2
+    for w in fb.playback.written:
+        assert w.shape == (FRAME_SAMPLES,) and np.isfinite(w).all()
+    assert '"sts_live_device"' in capsys.readouterr().out
+
+
 def test_mimi_play_device_flag_uses_backend(clean_registry):
     """`mimi-play --echo --device fake` drives the real codec through
     the device loop (mimi-echo.cpp over common_sdl.h)."""
