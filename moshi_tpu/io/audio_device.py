@@ -171,9 +171,11 @@ class _AlsaPcm:
             raise RuntimeError(f"snd_pcm_set_params failed: {err}")
 
     def _io(self, fn, buf, frames: int) -> int:
+        if self._pcm is None:
+            return -1                      # closed from another thread
         n = fn(self._pcm, buf.ctypes.data_as(ctypes.c_void_p),
                ctypes.c_ulong(frames))
-        if n < 0:   # xrun etc: recover once and retry
+        if n < 0 and self._pcm is not None:   # xrun etc: recover + retry
             self._lib.snd_pcm_recover(self._pcm, int(n), 1)
             n = fn(self._pcm, buf.ctypes.data_as(ctypes.c_void_p),
                    ctypes.c_ulong(frames))
@@ -187,15 +189,23 @@ class _AlsaPcm:
 
 class _AlsaCapture(_AlsaPcm, CaptureStream):
     def read(self, n):
-        if self.fmt == _SND_PCM_FORMAT_FLOAT_LE:
-            buf = np.empty(n, np.float32)
-            got = self._io(self._lib.snd_pcm_readi, buf, n)
-            return buf[:got] if got > 0 else None
-        buf = np.empty(n, np.int16)
-        got = self._io(self._lib.snd_pcm_readi, buf, n)
-        if got <= 0:
-            return None
-        return buf[:got].astype(np.float32) / 32768.0
+        """Loop readi to a FULL frame: a short read (legitimate after an
+        xrun recover) must not be zero-stuffed downstream — that would
+        shift the audio timeline by the missing samples."""
+        dt = (np.float32 if self.fmt == _SND_PCM_FORMAT_FLOAT_LE
+              else np.int16)
+        buf = np.empty(n, dt)
+        pos = 0
+        while pos < n:
+            if self._pcm is None:
+                return None                      # closed mid-session
+            got = self._io(self._lib.snd_pcm_readi, buf[pos:], n - pos)
+            if got <= 0:
+                return None                      # stream ended / dead
+            pos += got
+        if dt is np.float32:
+            return buf
+        return buf.astype(np.float32) / 32768.0
 
 
 class _AlsaPlayback(_AlsaPcm, PlaybackStream):
@@ -205,7 +215,15 @@ class _AlsaPlayback(_AlsaPcm, PlaybackStream):
         else:
             buf = (np.clip(frame, -1.0, 1.0)
                    * 32767.0).astype(np.int16)
-        self._io(self._lib.snd_pcm_writei, buf, len(buf))
+        pos = 0
+        while pos < len(buf):                    # flush partial writes
+            if self._pcm is None:
+                return
+            put = self._io(self._lib.snd_pcm_writei, buf[pos:],
+                           len(buf) - pos)
+            if put <= 0:
+                return                           # stream dead; drop rest
+            pos += put
 
 
 class AlsaBackend:
@@ -240,11 +258,20 @@ def register_backend(name: str, factory: Callable[[], object]):
     _REGISTRY[name] = factory
 
 
+def _probe(backend):
+    """A backend is usable only if a capture stream actually OPENS —
+    constructing AlsaBackend merely dlopens libasound, which succeeds on
+    any Linux with the userspace installed but no sound device."""
+    cap = backend.open_capture()
+    cap.close()
+    return backend
+
+
 def available_backends():
     out = []
     for name, factory in _REGISTRY.items():
         try:
-            factory()
+            _probe(factory())
         except Exception:
             continue
         out.append(name)
@@ -252,16 +279,21 @@ def available_backends():
 
 
 def resolve_backend(name: Optional[str] = None):
-    """Return a constructed backend.  ``name=None`` tries each in
-    registration order; a specific name must construct or the error
+    """Return a constructed backend.  ``name=None`` probes each in
+    registration order (construct + open a capture stream) and returns
+    the first that works; a specific name must construct or the error
     propagates (so a user asking for --device alsa sees the real
     reason)."""
     if name is not None:
+        if name not in _REGISTRY:
+            raise RuntimeError(
+                f"unknown audio backend {name!r}; registered: "
+                + ", ".join(sorted(_REGISTRY)))
         return _REGISTRY[name]()
     errors = []
     for n, factory in _REGISTRY.items():
         try:
-            return factory()
+            return _probe(factory())
         except Exception as e:    # noqa: BLE001 — collect per-backend cause
             errors.append(f"{n}: {type(e).__name__}: {e}")
     raise RuntimeError(
@@ -331,6 +363,12 @@ def run_device_loop(step, name: Optional[str] = None, max_frames: int = 0,
     try:
         return realtime_loop(fifo, step, sink, max_frames=max_frames)
     finally:
+        # shutdown order matters: closing the FIFO stops the capture
+        # thread at its next loop check; JOIN it (a blocked device read
+        # returns within one frame period) BEFORE closing the streams —
+        # closing a PCM under a blocked read in another thread is
+        # undefined in libasound
         fifo.close()
+        drv.join(2.0)
         cap.close()
         play.close()

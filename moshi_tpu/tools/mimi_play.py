@@ -51,6 +51,9 @@ def main(argv=None):
     if args.list_devices:
         list_devices()
         return 0
+    if args.device is not None and not args.echo:
+        ap.error("--device is the live mic->codec->speakers loop and "
+                 "requires --echo")
     if args.echo and args.device is not None:
         import json
 
@@ -63,6 +66,7 @@ def main(argv=None):
             return streamer.decode(streamer.encode(frame_np[None]))[0]
 
         step(np.zeros(FRAME_SIZE, np.float32))   # compile before going live
+        streamer.reset()       # the warmup frame must not enter the stream
         name = None if args.device == "auto" else args.device
         rep = run_device_loop(step, name=name, max_frames=args.frames)
         print(json.dumps({"metric": "mimi_echo_live", **rep,

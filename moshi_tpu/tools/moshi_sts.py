@@ -32,7 +32,9 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="sts.wav")
     ap.add_argument("-c", "--config", default=None)
     ap.add_argument("--bench", action="store_true")
-    ap.add_argument("--frames", type=int, default=BENCH_FRAMES)
+    ap.add_argument("--frames", type=int, default=None,
+                    help=f"frame budget (default {BENCH_FRAMES} for "
+                         "--bench, unbounded for --device)")
     ap.add_argument("--realtime-sim", action="store_true",
                     help="drive the loop through the async frame-FIFO "
                          "driver (common_sdl.h analog) with a paced "
@@ -55,6 +57,9 @@ def main(argv=None):
                          "GraphDumper analog (ggml_cap.h:1541-1766)")
     add_common_args(ap)
     args = ap.parse_args(argv)
+    if args.frames is None:
+        # a live conversation must not silently end at the bench budget
+        args.frames = 0 if args.device is not None else BENCH_FRAMES
     if args.list_devices:
         list_devices()
         return 0
@@ -141,6 +146,11 @@ def main(argv=None):
             return np.asarray(out["audio_out"])[0]
 
         step_live(np.zeros(FRAME_SIZE, np.float32))   # compile first
+        # the warmup frame must not leak into the live session: fresh
+        # streaming state, empty transcript (compile cache is keyed on
+        # shapes, so the re-run costs nothing)
+        st_box[0] = pipe.init_state(1, jax.random.PRNGKey(args.seed))
+        transcript.clear()
         name = None if args.device == "auto" else args.device
         rep = run_device_loop(step_live, name=name,
                               max_frames=args.frames)

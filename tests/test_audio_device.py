@@ -53,15 +53,44 @@ def clean_registry(monkeypatch):
     monkeypatch.setattr(ad, "_REGISTRY", dict(ad._REGISTRY))
 
 
-def test_no_backend_raises_with_causes(clean_registry):
-    """This image has neither sounddevice nor libasound: auto-resolve
-    must fail with every backend's cause in the message (a user at a
-    real deployment needs to see WHICH dependency to install)."""
+def test_no_backend_raises_with_causes(clean_registry, monkeypatch):
+    """With no usable device stack, auto-resolve must fail with every
+    backend's cause in the message (a user at a real deployment needs
+    to see WHICH dependency to install).  The real gates are forced
+    shut so this passes even on a dev box that HAS libasound."""
+    monkeypatch.setattr(ad, "_load_alsa",
+                        lambda: (_ for _ in ()).throw(
+                            OSError("libasound.so.2: not found")))
+    monkeypatch.setitem(__import__("sys").modules, "sounddevice", None)
     with pytest.raises(RuntimeError) as ei:
         ad.resolve_backend(None)
     msg = str(ei.value)
     assert "sounddevice" in msg and "alsa" in msg
     assert ad.available_backends() == []
+
+
+def test_unknown_backend_name_lists_registered(clean_registry):
+    with pytest.raises(RuntimeError, match="registered: alsa"):
+        ad.resolve_backend("sounddevce")   # typo must not KeyError
+
+
+def test_resolution_probes_device_open(clean_registry):
+    """A backend whose library loads but whose device cannot OPEN (the
+    headless-server-with-libasound case) must be skipped by auto-
+    resolution and absent from available_backends."""
+
+    class Constructs:
+        name = "constructs"
+
+        def open_capture(self, samplerate=ad.SAMPLERATE):
+            raise RuntimeError("snd_pcm_open failed: -2")
+
+    fb = FakeBackend([])
+    ad._REGISTRY.clear()
+    ad.register_backend("constructs", Constructs)
+    ad.register_backend("fake", lambda: fb)
+    assert ad.resolve_backend(None) is fb
+    assert ad.available_backends() == ["fake"]
 
 
 def test_registered_backend_resolves(clean_registry):
