@@ -365,6 +365,20 @@ def main(argv=None):
             end = int(np.asarray(end_c[-1])[0])   # 1 RPC per chunk
             chunks.append((audio_c, valid_c, end_c))
             f += c
+        if end >= 0:
+            # the delay/padding window AFTER the end token still carries
+            # audio (the per-frame paths generate through it); top up to
+            # `total` when the end landed near the last chunk's tail
+            tail_total = min(args.max_frames,
+                             end + lm_cfg.delay_steps + final_padding)
+            while f < tail_total:
+                c = min(64, tail_total - f)
+                audio_c, valid_c, end_c, state, mdev = pipe.scan_device(
+                    mimi_params, lm_params, state, mdev, script_arr, c,
+                    condition_sum, cross_kv)
+                np.asarray(end_c[-1])             # consume the chunk
+                chunks.append((audio_c, valid_c, end_c))
+                f += c
         dt = time.perf_counter() - t0
         # assemble: head frames (invalid/replace) then scan chunks
         audio = np.concatenate([np.asarray(a) for a, _, _ in chunks])
@@ -376,7 +390,10 @@ def main(argv=None):
             else -1
         total = (min(args.max_frames, end_step + lm_cfg.delay_steps +
                      final_padding) if end_step >= 0 else f)
-        keep = max(0, total - len(head))
+        # the end token can land near the tail of the last chunk, with
+        # total (end + delay + final padding) extending past the frames
+        # actually generated — clamp to what exists
+        keep = min(max(0, total - len(head)), len(audio))
         wav_parts = [audio[i][0] for i in range(keep) if valid[i][0]]
         frames = min(f, total)
         return wav_parts, frames, max(frames - 1, 1) / dt

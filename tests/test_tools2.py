@@ -127,3 +127,26 @@ def test_moshi_tts_scan_mode(tmp_path):
     assert rc == 0
     audio, rate = load_wav(out)
     assert rate == 24_000 and len(audio) > 0
+
+
+def test_moshi_tts_scan_end_near_chunk_tail(tmp_path, monkeypatch):
+    """The end token can land near the tail of the last scan chunk, with
+    end + delay_steps + final_padding extending PAST the generated
+    frames — the tail top-up must generate through the delay window
+    instead of IndexError-ing on assembly (round-5 hardware repro: a 3x
+    bench text crashed at audio[448]).  Tiny 1-frame chunks + a text
+    sweep make the boundary land everywhere."""
+    from moshi_tpu.io.wav import load_wav
+    from moshi_tpu.tools.moshi_tts import main
+    monkeypatch.setenv("MOSHI_TPU_SCAN_CHUNKS", "8,4,1")
+    from moshi_tpu.runtime.pipeline import TTSPipeline
+    monkeypatch.setattr(TTSPipeline, "SCAN_CHUNKS", (8, 4, 1))
+    words = ["hello", "there", "quite", "a", "few", "more", "words",
+             "to", "move", "the", "end", "boundary"]
+    for n in (3, 7, 12):
+        out = str(tmp_path / f"tts{n}.wav")
+        rc = main(words[:n] + ["-o", out, "--synthetic", "--scan",
+                               "--max-frames", "150"])
+        assert rc == 0
+        audio, rate = load_wav(out)
+        assert rate == 24_000 and len(audio) > 0
