@@ -75,6 +75,14 @@ def serving_format(requested: str, batch: int = 1,
         pallas custom calls (parallel/tp.py docstring), and q8_r's plain
         XLA int8 dot both partitions cleanly and halves bytes vs a bf16
         dequant product.  (Explicit shard_map TP keeps q4_k.)
+
+    Small-model caveat (round 5): below ~2 GB of weights bf16 usually
+    beats q4_k (STT 1b scan 155.5 vs 138.3) — EXCEPT on deployments
+    with high per-kernel-launch overhead, where the q4_k stacked path's
+    fewer kernels win (TTS-class scan 44.1 q4_k vs 33.8 bf16 on a
+    ~24 us/launch rig day; identical on a ~18 us day).  A/B per rig —
+    the structural levers (device FSM, windowed/scan dispatch) dominate
+    either choice (BENCH_NOTES.md).
     """
     if requested not in ("q4_k", "q4_0", "q8_0", "q8_r"):
         return requested
